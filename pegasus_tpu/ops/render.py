@@ -1,0 +1,89 @@
+"""Modality API: one fused render -> every PEGASUS data point.
+
+Functional replacements for the reference's four per-frame render helpers
+(reference: src/gs/render.py:14-129 — render_rgb_and_depth,
+render_silhouette_mask, render_visib_mask, render_semanticsegmentation_mask),
+which cost 3 + N_objects CUDA passes and decode masks from rendered colors
+with a 0.1 color-distance hack.  Here a single rasterizer pass yields:
+
+  rgb            — composited color
+  depth          — expected camera-space depth (meters)
+  mask_visib     — per-object visible masks (env excluded from occlusion,
+                   matching the reference quirk at src/gs/render.py:81-83)
+  mask_amodal    — per-object silhouettes ignoring ALL occlusion
+  seg_image      — flat-color segmentation image (objects on black)
+  sem_seg        — same as uint8
+
+Masks are exact functions of per-object compositing weights, not color
+comparisons.  The weight threshold 0.9 mirrors the reference's 0.1
+color-distance acceptance for fully-covering pixels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.lax import Precision
+
+from pegasus_tpu.camera import Camera
+from pegasus_tpu.gs.cloud import GaussianCloud
+from pegasus_tpu.ops.rasterize_ref import RenderOutputs, rasterize_reference
+
+_PREC = Precision.HIGHEST
+
+MASK_THRESHOLD = 0.9
+
+
+class FrameDataPoints(NamedTuple):
+    rgb: jnp.ndarray  # [H, W, 3] float in [0,1]
+    depth: jnp.ndarray  # [H, W] float meters
+    alpha: jnp.ndarray  # [H, W]
+    mask_visib: jnp.ndarray  # [H, W, K] bool (channel k-1 = object id k)
+    mask_amodal: jnp.ndarray  # [H, W, K] bool
+    seg_image: jnp.ndarray  # [H, W, 3] float
+    vis_weights: jnp.ndarray  # [H, W, K] raw weights (debug/gt-info)
+
+
+def decode_modalities(
+    out: RenderOutputs,
+    semantic_colors: jnp.ndarray,  # [K, 3] palette for object ids 1..K
+    mask_threshold: float = MASK_THRESHOLD,
+) -> FrameDataPoints:
+    k = semantic_colors.shape[0]
+    # channel 0 of seg/vis weights is the environment; objects are 1..K
+    vis = out.vis_weights[..., 1 : k + 1]
+    amodal = out.amodal[..., 1 : k + 1]
+    seg_image = jnp.einsum(
+        "hwk,kc->hwc", vis, jnp.asarray(semantic_colors, jnp.float32),
+        precision=_PREC,
+    )
+    return FrameDataPoints(
+        rgb=jnp.clip(out.rgb, 0.0, 1.0),
+        depth=out.depth,
+        alpha=out.alpha,
+        mask_visib=vis >= mask_threshold,
+        mask_amodal=amodal >= mask_threshold,
+        seg_image=jnp.clip(seg_image, 0.0, 1.0),
+        vis_weights=vis,
+    )
+
+
+def render_frame(
+    scene: GaussianCloud,
+    cam: Camera,
+    semantic_colors,
+    background=(0.0, 0.0, 0.0),
+    max_objects: int | None = None,
+    rasterize_fn=rasterize_reference,
+    **kwargs,
+) -> FrameDataPoints:
+    """Render every modality for one camera in one pass."""
+    semantic_colors = jnp.asarray(semantic_colors, jnp.float32)
+    if max_objects is None:
+        max_objects = semantic_colors.shape[0] + 1
+    out = rasterize_fn(
+        scene, cam, background=background, max_objects=max_objects, **kwargs
+    )
+    return decode_modalities(out, semantic_colors)

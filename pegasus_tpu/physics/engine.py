@@ -1,0 +1,274 @@
+"""Drop-simulation engine with the reference's PybulletEngine surface.
+
+API mirror of ``PybulletEngine`` (reference:
+src/engine/physical_simulation.py:19-170): construct with URDF asset
+folder(s), ``add_object`` per asset, ``simulate()`` writes the trajectory
+JSON.  Internally the Bullet C++ stepper is replaced by the vmappable JAX
+rigid-body stepper (pegasus_tpu.physics.rigid_body); the JSON schema is
+preserved byte-compatibly so either engine's output replays identically.
+
+Beyond the reference: ``simulate_variants(n)`` runs n randomized drops of
+the same scene in ONE vmapped XLA program.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import List, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pegasus_tpu.io.mesh import load_mesh
+from pegasus_tpu.physics import rigid_body as rb
+from pegasus_tpu.physics.urdf import box_inertia, parse_urdf
+from pegasus_tpu.scene.trajectory import AssetInfo, Trajectory
+from pegasus_tpu.utils import quaternion as quat
+
+MAX_BODIES = 8
+MAX_POINTS = 48
+
+
+def _farthest_point_downsample(pts: np.ndarray, k: int) -> np.ndarray:
+    if len(pts) <= k:
+        return pts
+    chosen = [int(np.argmax(np.linalg.norm(pts - pts.mean(0), axis=1)))]
+    d = np.linalg.norm(pts - pts[chosen[0]], axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, np.linalg.norm(pts - pts[nxt], axis=1))
+    return pts[chosen]
+
+
+def collision_points_from_mesh(verts: np.ndarray, k: int = MAX_POINTS) -> np.ndarray:
+    """Hull vertices, farthest-point downsampled to k (collision proxy)."""
+    from scipy.spatial import ConvexHull
+
+    pts = np.asarray(verts, np.float64)
+    if len(pts) > 16:
+        try:
+            pts = pts[ConvexHull(pts).vertices]
+        except Exception:
+            pass
+    return _farthest_point_downsample(pts, k)
+
+
+class PhysicsEngine:
+    """Bullet-free drop simulation (reference ctor:
+    physical_simulation.py:20-55)."""
+
+    def __init__(
+        self,
+        asset_folder: Union[str, list],
+        output_path_json: str = "simulation_steps.json",
+        simulation_steps: int = 1000,
+        gui: bool = False,  # accepted for API parity; no GUI here
+        gravity=rb.DEFAULT_GRAVITY,
+        dt: float = rb.DEFAULT_DT,
+        seed: int | None = None,
+    ):
+        self.trajectory_path = Path(output_path_json)
+        self.trajectory_path.parent.mkdir(exist_ok=True, parents=True)
+        if isinstance(asset_folder, (str, Path)):
+            self.asset_folders = [Path(asset_folder)]
+        else:
+            self.asset_folders = [Path(p) for p in asset_folder]
+        self.simulation_steps = simulation_steps
+        self.gravity = gravity
+        self.dt = dt
+        self.rng = np.random.default_rng(seed)
+
+        self.asset_list = {"environment": {}, "object": {}}
+        self._bodies: List[dict] = []  # ordered by bullet id
+
+    # -- reference API ---------------------------------------------------------
+
+    def _resolve(self, name: str) -> Path:
+        for folder in self.asset_folders:
+            p = folder / name
+            if p.exists():
+                return p
+        raise FileNotFoundError(f"{name} not found in {self.asset_folders}")
+
+    def add_object(self, object_instance, start_pos=(0, 0, 0),
+                   start_orientation_euler=(0, 0, 0)) -> int:
+        """Mirror of PybulletEngine.add_object
+        (reference: physical_simulation.py:57-96): environments load static
+        with identity orientation; objects get a random UNNORMALIZED
+        uniform(0,1)^4 start quaternion (the reference's distribution,
+        physical_simulation.py:66-73 — normalized before integration, as
+        Bullet does internally)."""
+        name = object_instance.urdf_file_name
+        obj_type = object_instance.TYPE
+        class_name = object_instance.__class__.__name__
+        obj_name = name.split(".")[0]
+        body_id = len(self._bodies)
+
+        urdf_path = self._resolve(name)
+        info = parse_urdf(urdf_path)
+        mesh_path = urdf_path.parent / info.collision_mesh if info.collision_mesh else None
+        if mesh_path is not None and mesh_path.exists():
+            mesh = load_mesh(mesh_path)
+            verts = mesh.vertices * info.mesh_scale
+        else:
+            verts = np.array([[0, 0, 0.0]])
+
+        if obj_type == "environment":
+            q_xyzw = np.array([0.0, 0.0, 0.0, 1.0])
+            self.asset_list["environment"][obj_name] = {
+                "bullet_id": [body_id],
+                "class_name": class_name,
+            }
+            mass = 0.0
+        elif obj_type == "object":
+            q_xyzw = self.rng.uniform(0.0, 1.0, size=4)
+            if obj_name not in self.asset_list["object"]:
+                self.asset_list["object"][obj_name] = {
+                    "bullet_id": [body_id],
+                    "center_of_mass": [float(v) for v in info.center_of_mass],
+                    "class_name": class_name,
+                    "object_ID": getattr(object_instance, "ID", None),
+                }
+            else:
+                self.asset_list["object"][obj_name]["bullet_id"].append(body_id)
+            mass = info.mass if info.mass > 0 else 1.0
+        else:
+            raise ValueError(f"Wrong entity - {obj_type}")
+
+        pts = collision_points_from_mesh(verts)
+        lo, hi = verts.min(axis=0), verts.max(axis=0)
+        self._bodies.append(
+            {
+                "name": obj_name,
+                "type": obj_type,
+                "mass": mass,
+                "points": pts,
+                "inertia": box_inertia(max(mass, 1e-6), hi - lo),
+                "radius": float(np.linalg.norm(pts, axis=1).max()),
+                "start_pos": np.asarray(start_pos, np.float64),
+                "start_q_xyzw": q_xyzw,
+            }
+        )
+        return body_id
+
+    # -- state assembly ----------------------------------------------------------
+
+    def _build(self):
+        b = len(self._bodies)
+        if b > MAX_BODIES:
+            raise ValueError(f"too many bodies: {b} > {MAX_BODIES}")
+        inv_mass = np.zeros(MAX_BODIES, np.float32)
+        inv_inertia = np.zeros((MAX_BODIES, 3), np.float32)
+        points = np.zeros((MAX_BODIES, MAX_POINTS, 3), np.float32)
+        point_mask = np.zeros((MAX_BODIES, MAX_POINTS), bool)
+        radius = np.zeros(MAX_BODIES, np.float32)
+        friction = np.full(MAX_BODIES, 0.5, np.float32)
+        restitution = np.zeros(MAX_BODIES, np.float32)
+        body_mask = np.zeros(MAX_BODIES, bool)
+        pos = np.zeros((MAX_BODIES, 3), np.float32)
+        rot = np.tile(np.array([1.0, 0, 0, 0], np.float32), (MAX_BODIES, 1))
+
+        for i, body in enumerate(self._bodies):
+            body_mask[i] = True
+            pos[i] = body["start_pos"]
+            rot[i] = np.asarray(
+                quat.normalize(
+                    jnp.asarray(
+                        np.roll(body["start_q_xyzw"], 1), jnp.float32
+                    )
+                )
+            )
+            if body["type"] == "object":
+                inv_mass[i] = 1.0 / body["mass"]
+                inv_inertia[i] = 1.0 / np.maximum(body["inertia"], 1e-9)
+            n = len(body["points"])
+            points[i, :n] = body["points"]
+            point_mask[i, :n] = True
+            radius[i] = body["radius"]
+
+        params = rb.RigidBodyParams(
+            inv_mass=jnp.asarray(inv_mass),
+            inv_inertia=jnp.asarray(inv_inertia),
+            points=jnp.asarray(points),
+            point_mask=jnp.asarray(point_mask),
+            radius=jnp.asarray(radius),
+            friction=jnp.asarray(friction),
+            restitution=jnp.asarray(restitution),
+            body_mask=jnp.asarray(body_mask),
+        )
+        state0 = rb.RigidBodyState.rest(pos, rot)
+        return params, state0
+
+    # -- simulation ----------------------------------------------------------------
+
+    def simulate(self, write_json: bool = True) -> Trajectory:
+        """Run the drop and (like the reference, physical_simulation.py:98-170)
+        dump the {asset_infos, trajectory} JSON keyed by bullet body id."""
+        params, state0 = self._build()
+        traj_states, _ = rb.simulate(
+            params,
+            state0,
+            n_steps=self.simulation_steps,
+            dt=self.dt,
+            gravity=self.gravity,
+        )
+        n_bodies = len(self._bodies)
+        pos = np.asarray(traj_states.pos)[:, :n_bodies]  # [T, B, 3]
+        rot = np.asarray(traj_states.rot)[:, :n_bodies]  # [T, B, 4] wxyz
+
+        times_t = np.transpose(pos, (1, 0, 2))
+        times_q = np.roll(np.transpose(rot, (1, 0, 2)), -1, axis=-1)  # xyzw
+
+        env_name = list(self.asset_list["environment"].keys())[0]
+        env_info = AssetInfo(
+            name=env_name,
+            class_name=self.asset_list["environment"][env_name]["class_name"],
+            bullet_ids=self.asset_list["environment"][env_name]["bullet_id"],
+        )
+        objects = {
+            name: AssetInfo(
+                name=name,
+                class_name=d["class_name"],
+                bullet_ids=d["bullet_id"],
+                object_ID=d.get("object_ID"),
+                center_of_mass=d.get("center_of_mass"),
+            )
+            for name, d in self.asset_list["object"].items()
+        }
+        trajectory = Trajectory(
+            environment=env_info, objects=objects, times_t=times_t, times_q=times_q
+        )
+        if write_json:
+            trajectory.to_json(self.trajectory_path)
+        return trajectory
+
+    def simulate_variants(self, n_variants: int, seed: int = 0):
+        """Vmapped batch of randomized re-drops of the registered scene —
+        the scene-level parallelism the reference lacks (SURVEY 2.2).
+
+        Returns stacked (pos [V, T, B, 3], rot_xyzw [V, T, B, 4]).
+        """
+        params, state0 = self._build()
+        keys = jax.random.split(jax.random.PRNGKey(seed), n_variants)
+        dyn = np.asarray(params.inv_mass) > 0
+
+        def randomize(key, state):
+            qs = jax.random.uniform(key, (MAX_BODIES, 4))
+            qs = quat.normalize(qs)
+            rot = jnp.where(jnp.asarray(dyn)[:, None], qs, state.rot)
+            return state.replace(rot=rot)
+
+        states = jax.vmap(randomize, in_axes=(0, None))(keys, state0)
+        params_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_variants,) + x.shape), params
+        )
+        traj, _ = rb.simulate_batch(
+            params_b, states, n_steps=self.simulation_steps,
+            dt=self.dt, gravity=self.gravity,
+        )
+        return np.asarray(traj.pos), np.asarray(
+            jnp.roll(traj.rot, -1, axis=-1)
+        )
