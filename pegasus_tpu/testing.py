@@ -195,3 +195,86 @@ def make_colmap_hemisphere(
             name=f"frame_{i:04d}.png",
         )
     return cams, images
+
+
+def build_synthetic_dataset(
+    root,
+    env_name: str = "asphalt",
+    object_names=("cup_noodles_04", "cup_noodles_07"),
+    n_colmap_images: int = 16,
+    rng=None,
+):
+    """Materialize a minimal Ramen/PEGASET-layout dataset on disk:
+
+        <root>/environment/<env>/{sparse/0/*.bin, gs/point_cloud/iteration_30000/point_cloud.ply}
+        <root>/object/<name>/fused/gs/point_cloud/iteration_30000/point_cloud.ply
+        <root>/urdf/{<name>.obj, <name>.urdf}
+
+    so the full PEGASUS pipeline (load -> physics -> render -> BOP) runs
+    without the released ~50 GB archives (layout per README.md:218-253).
+    """
+    import os
+    from pathlib import Path
+
+    from pegasus_tpu.gs.ply import save_gs_ply
+    from pegasus_tpu.io import colmap as colmap_io
+    from pegasus_tpu.io.mesh import TriMesh, save_obj
+    from pegasus_tpu.physics.urdf import generate_urdf
+
+    rng = rng or np.random.default_rng(0)
+    root = Path(root)
+
+    # environment: plane cloud + colmap hemisphere
+    env_dir = root / "environment" / env_name
+    env_cloud = make_plane_cloud(rng, n=2048, size=2.0)
+    save_gs_ply(
+        env_cloud,
+        env_dir / "gs" / "point_cloud" / "iteration_30000" / "point_cloud.ply",
+    )
+    cams, images = make_colmap_hemisphere(
+        n_images=n_colmap_images, radius=1.4, target=(0, 0, 0.05)
+    )
+    sparse = env_dir / "sparse" / "0"
+    sparse.mkdir(parents=True, exist_ok=True)
+    colmap_io.write_cameras_binary(cams, sparse / "cameras.bin")
+    colmap_io.write_images_binary(images, sparse / "images.bin")
+    colmap_io.write_points3d_binary({}, sparse / "points3D.bin")
+
+    # env mesh + urdf (flat box under the plane)
+    verts, faces = make_box_mesh(half_extents=(1.0, 1.0, 0.005), center=(0, 0, -0.005))
+    env_mesh = TriMesh(verts, faces)
+    save_obj(env_mesh, root / "urdf" / f"{env_name}.obj")
+    generate_urdf(
+        root / "urdf" / f"{env_name}.urdf",
+        mesh_filename=f"{env_name}.obj",
+        name=env_name,
+        mass=0.0,
+        center_of_mass=(0, 0, 0),
+        mesh_extents=(2.0, 2.0, 0.01),
+        static=True,
+    )
+
+    # objects: boxes with distinct colors
+    palette = [(0.8, 0.2, 0.2), (0.2, 0.4, 0.8), (0.9, 0.7, 0.1), (0.3, 0.8, 0.3)]
+    for i, name in enumerate(object_names):
+        half = (0.04, 0.04, 0.06)
+        cloud = make_box_cloud(
+            rng, n=768, half_extents=half, center=(0, 0, 0), rgb=palette[i % 4],
+            object_id=0,
+        )
+        save_gs_ply(
+            cloud,
+            root / "object" / name / "fused" / "gs" / "point_cloud"
+            / "iteration_30000" / "point_cloud.ply",
+        )
+        verts, faces = make_box_mesh(half_extents=half)
+        save_obj(TriMesh(verts, faces), root / "urdf" / f"{name}.obj")
+        generate_urdf(
+            root / "urdf" / f"{name}.urdf",
+            mesh_filename=f"{name}.obj",
+            name=name,
+            mass=0.2,
+            center_of_mass=(0, 0, 0),
+            mesh_extents=tuple(2 * h for h in half),
+        )
+    return root
