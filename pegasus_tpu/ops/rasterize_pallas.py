@@ -1,0 +1,288 @@
+"""Pallas TPU rasterizer backend: fused per-tile splat compositing.
+
+The speed-of-light path.  The XLA backend (rasterize_tiled.py) is
+bandwidth-bound: every [tiles, px, chunk] intermediate (alphas, log-terms,
+cumulative products, weights) round-trips HBM — measured ~150 ms/frame at
+640x480.  This kernel keeps the whole per-tile pipeline in VMEM:
+
+  grid = one program per 16x16 image tile;
+  scalar-prefetched per-tile block offsets index a depth-ordered packed
+  entry tensor [n_blocks, 16, C] in HBM (built by ops/binning.py with
+  block-aligned segments, so every DMA is a lane-aligned [16, C] slab);
+  the kernel double-buffers entry blocks, evaluates per-pixel alphas on
+  the VPU, turns front-to-back 'over' into an exclusive cumulative product
+  in log space (cumsum as a triangular MXU matmul — mosaic has no cumsum),
+  and accumulates all modality channels with [px, C] @ [C, F] MXU matmuls.
+  HBM traffic per frame = entry params + final tile accumulators
+  (~100 MB) instead of ~13 GB.
+
+Output channel layout (F_OUT columns per pixel):
+  0:3 rgb (premultiplied), 3 depth, 4 alpha, 5:5+K seg_full,
+  5+K:5+2K vis (environment excluded), 5+2K:5+3K amodal log-transmittance,
+  5+3K t_full (scene transmittance), 5+3K+1 t_noenv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pegasus_tpu.camera import Camera
+from pegasus_tpu.gs.cloud import GaussianCloud
+from pegasus_tpu.ops import binning
+from pegasus_tpu.ops.binning import TileBins, bin_splats
+from pegasus_tpu.ops.projection import project_gaussians
+from pegasus_tpu.ops.rasterize_ref import RenderOutputs
+
+
+def _composite_kernel(
+    # scalar prefetch
+    start_blk_ref,  # [n_tiles] i32: first entry block of each tile
+    count_ref,  # [n_tiles] i32: real entry count of each tile
+    # inputs
+    params_hbm,  # [n_blocks, 16, C] f32, memory_space=ANY
+    # outputs
+    out_ref,  # [1, PX, F_OUT] f32 VMEM block
+    # scratch
+    buf_ref,  # [2, 16, C] f32 VMEM
+    sem_ref,  # DMA semaphores (2,)
+    *,
+    tile: int,
+    ntx: int,
+    chunk: int,
+    max_objects: int,
+):
+    i = pl.program_id(0)
+    start_blk = start_blk_ref[i]
+    count = count_ref[i]
+    px_n = tile * tile
+    k = max_objects
+
+    # pixel centers of this tile: linear index l = y_in * tile + x_in
+    ty = i // ntx
+    tx = i % ntx
+    lin = jax.lax.broadcasted_iota(jnp.int32, (px_n, 1), 0)
+    pxs = (lin % tile + tx * tile).astype(jnp.float32)
+    pys = (lin // tile + ty * tile).astype(jnp.float32)
+
+    n_chunks = (count + chunk - 1) // chunk
+
+    # cumsum along lanes as a triangular MXU matmul (no cumsum in mosaic)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    cc_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tri = (rr <= cc_i).astype(jnp.float32)  # U[c, j] = 1 iff c <= j
+
+    def cumsum_lanes(x):
+        return jax.lax.dot(x, tri, preferred_element_type=jnp.float32)
+
+    def get_dma(slot, c_i):
+        return pltpu.make_async_copy(
+            params_hbm.at[start_blk + c_i],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(c_i, carry):
+        t_full, t_ne, acc, amodal_log = carry
+        slot = c_i % 2
+
+        @pl.when(c_i + 1 < n_chunks)
+        def _():
+            get_dma((c_i + 1) % 2, c_i + 1).start()
+
+        get_dma(slot, c_i).wait()
+        p = buf_ref[slot]  # [16, C]: rows are parameter fields
+
+        entry_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c_i * chunk
+            < count
+        )  # [1, C]
+
+        mx = p[binning.P_MX : binning.P_MX + 1, :]  # [1, C]
+        my = p[binning.P_MY : binning.P_MY + 1, :]
+        ca = p[binning.P_CA : binning.P_CA + 1, :]
+        cb = p[binning.P_CB : binning.P_CB + 1, :]
+        cc = p[binning.P_CC : binning.P_CC + 1, :]
+        opac = p[binning.P_OPAC : binning.P_OPAC + 1, :]
+        rad = p[binning.P_RADIUS : binning.P_RADIUS + 1, :]
+        is_env = p[binning.P_ENV : binning.P_ENV + 1, :] > 0.5
+
+        dx = pxs - mx  # [PX, C]
+        dy = pys - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(opac * jnp.exp(jnp.minimum(power, 0.0)), 0.99)
+        keep = (
+            (power <= 0.0)
+            & (alpha >= 1.0 / 255.0)
+            & (jnp.abs(dx) <= rad)
+            & (jnp.abs(dy) <= rad)
+            & entry_ok
+        )
+        alphas = jnp.where(keep, alpha, 0.0)
+
+        # transposed feature matrix [F, C]: rgb, depth, 1, onehot(K)
+        obj = p[binning.P_OBJ : binning.P_OBJ + 1, :]  # [1, C]
+        kl = jax.lax.broadcasted_iota(jnp.int32, (k, chunk), 0).astype(
+            jnp.float32
+        )
+        onehot_t = (jnp.abs(kl - obj) < 0.5).astype(jnp.float32)  # [K, C]
+        feat_t = jnp.concatenate(
+            [
+                p[binning.P_R : binning.P_B + 1, :],  # [3, C]
+                p[binning.P_DEPTH : binning.P_DEPTH + 1, :],
+                jnp.ones((1, chunk), jnp.float32),
+                onehot_t,
+            ],
+            axis=0,
+        )  # [5 + K, C]
+
+        def dot_t(w, f_t):  # w [PX, C] @ f_t.T -> [PX, F]
+            return jax.lax.dot_general(
+                w, f_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        log1m = jnp.log1p(-alphas)
+        excl = jnp.exp(cumsum_lanes(log1m) - log1m)
+        w_full = alphas * excl * t_full  # [PX, C]
+        acc_full = dot_t(w_full, feat_t)  # [PX, 5+K]
+        new_t_full = t_full * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+
+        alphas_ne = jnp.where(is_env, 0.0, alphas)
+        log1m_ne = jnp.log1p(-alphas_ne)
+        excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne)
+        w_ne = alphas_ne * excl_ne * t_ne
+        acc_ne = dot_t(w_ne, onehot_t)  # [PX, K]
+        new_t_ne = t_ne * jnp.exp(jnp.sum(log1m_ne, axis=1, keepdims=True))
+
+        d_amodal = dot_t(log1m, onehot_t)
+
+        acc = acc + jnp.concatenate([acc_full, acc_ne], axis=1)
+        return (new_t_full, new_t_ne, acc, amodal_log + d_amodal)
+
+    init = (
+        jnp.ones((px_n, 1), jnp.float32),
+        jnp.ones((px_n, 1), jnp.float32),
+        jnp.zeros((px_n, 5 + 2 * k), jnp.float32),
+        jnp.zeros((px_n, k), jnp.float32),
+    )
+    t_full, t_ne, acc, amodal_log = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    out_ref[0] = jnp.concatenate([acc, amodal_log, t_full, t_ne], axis=1)
+
+
+def composite_tiles_pallas(
+    bins: TileBins,
+    width: int,
+    height: int,
+    background: jnp.ndarray,
+    max_objects: int = 8,
+    interpret: bool = False,
+) -> RenderOutputs:
+    tile = bins.tile
+    chunk = bins.block
+    ntx, nty = bins.n_tiles_x, bins.n_tiles_y
+    n_tiles = ntx * nty
+    px_n = tile * tile
+    k = max_objects
+    f_out = 5 + 3 * k + 2
+
+    # [M_pad, 16] -> [n_blocks, 16, C] lane-aligned slabs
+    m_pad = bins.params.shape[0]
+    n_blocks = m_pad // chunk
+    params_blocked = jnp.swapaxes(
+        bins.params.reshape(n_blocks, chunk, binning.PARAM_DIM), 1, 2
+    )
+    start_blk = bins.tile_start // chunk
+
+    kernel = functools.partial(
+        _composite_kernel,
+        tile=tile,
+        ntx=ntx,
+        chunk=chunk,
+        max_objects=max_objects,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, px_n, f_out),
+            lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, binning.PARAM_DIM, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, px_n, f_out), jnp.float32),
+        interpret=interpret,
+    )(start_blk, bins.tile_count, params_blocked)
+
+    background = jnp.asarray(background, jnp.float32)
+
+    def untile(x):
+        ch = x.shape[-1]
+        x = x.reshape(nty, ntx, tile, tile, ch)
+        x = jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(nty * tile, ntx * tile, ch)
+        return x[:height, :width]
+
+    acc = untile(out[..., 0 : 5 + 2 * k])
+    amodal_log = untile(out[..., 5 + 2 * k : 5 + 3 * k])
+    t_full = untile(out[..., 5 + 3 * k : 5 + 3 * k + 1])[..., 0]
+
+    rgb = acc[..., 0:3] + t_full[..., None] * background[None, None, :]
+    return RenderOutputs(
+        rgb=rgb,
+        depth=acc[..., 3],
+        alpha=acc[..., 4],
+        seg_weights=acc[..., 5 : 5 + k],
+        vis_weights=acc[..., 5 + k : 5 + 2 * k],
+        amodal=1.0 - jnp.exp(amodal_log),
+    )
+
+
+def rasterize_pallas(
+    cloud: GaussianCloud,
+    cam: Camera,
+    background=(0.0, 0.0, 0.0),
+    sh_degree: int | None = None,
+    scaling_modifier: float = 1.0,
+    max_objects: int = 8,
+    tile: int = 16,
+    chunk: int = 256,
+    a_small: int = 6,
+    big_budget: int = 8192,
+    a_big: int = 64,
+    interpret: bool = False,
+) -> RenderOutputs:
+    """Drop-in alternative to rasterize_reference (same RenderOutputs)."""
+    proj = project_gaussians(cloud, cam, sh_degree, scaling_modifier)
+    bins = bin_splats(
+        proj, cam.width, cam.height, tile=tile,
+        a_small=a_small, big_budget=min(big_budget, cloud.num_splats),
+        a_big=a_big, block=chunk,
+    )
+    return composite_tiles_pallas(
+        bins,
+        cam.width,
+        cam.height,
+        jnp.asarray(background, jnp.float32),
+        max_objects=max_objects,
+        interpret=interpret,
+    )

@@ -57,15 +57,15 @@ def sh2rgb(sh):
     return jnp.asarray(sh) * C0 + 0.5
 
 
-def _basis_band1(d):
+def _basis_band1(d, xp=jnp):
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
-    return jnp.stack([-C1 * y, C1 * z, -C1 * x], axis=-1)
+    return xp.stack([-C1 * y, C1 * z, -C1 * x], axis=-1)
 
 
-def _basis_band2(d):
+def _basis_band2(d, xp=jnp):
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
     xx, yy, zz = x * x, y * y, z * z
-    return jnp.stack(
+    return xp.stack(
         [
             C2[0] * x * y,
             C2[1] * y * z,
@@ -77,10 +77,10 @@ def _basis_band2(d):
     )
 
 
-def _basis_band3(d):
+def _basis_band3(d, xp=jnp):
     x, y, z = d[..., 0], d[..., 1], d[..., 2]
     xx, yy, zz = x * x, y * y, z * z
-    return jnp.stack(
+    return xp.stack(
         [
             C3[0] * y * (3.0 * xx - yy),
             C3[1] * x * y * z,
@@ -137,14 +137,15 @@ def _fibonacci_sphere(n: int) -> np.ndarray:
     )
 
 
+# module-level init stays numpy-only (no device work at import time)
 _SAMPLE_DIRS = _fibonacci_sphere(32)  # well-spread, conditioning ~1
 _PINV = {}
 for _l, _fn in _BAND_FNS.items():
-    _B0 = np.asarray(_fn(jnp.asarray(_SAMPLE_DIRS)))
-    _PINV[_l] = np.linalg.pinv(_B0)  # [(2l+1), 32]
+    _B0 = _fn(_SAMPLE_DIRS.astype(np.float32), xp=np)
+    _PINV[_l] = np.linalg.pinv(_B0.astype(np.float64)).astype(np.float32)
 
-_SAMPLE_DIRS_J = jnp.asarray(_SAMPLE_DIRS)
-_PINV_J = {l: jnp.asarray(p) for l, p in _PINV.items()}
+_SAMPLE_DIRS_J = _SAMPLE_DIRS.astype(np.float32)
+_PINV_J = {l: p for l, p in _PINV.items()}
 
 
 def sh_band_rotation(R, band: int):
