@@ -3,26 +3,24 @@
 Shared front-end of the tiled XLA and Pallas rasterizer backends.  The
 CUDA reference builds this structure with a global (tile|depth)-key radix
 sort over dynamically-counted duplicates; the TPU formulation keeps every
-shape static:
+shape static and — crucially — GATHER-FREE:
 
   * duplication uses per-splat slot grids with STATIC caps — a cheap
     'small' bucket (most splats cover 1-6 tiles) plus a top_k-compacted
-    'big' bucket — no searchsorted over the expansion (a measured 166 ms
-    trap on TPU: binary-search gathers are ~25 GB/s);
+    'big' bucket (searchsorted-expansion and scatter/gather inverse maps
+    measured 12-36 ms on TPU; all are avoided);
   * depth ordering rides the sort key: key = tile_id << depth_bits |
     depth_rank, so ONE 32-bit sort yields per-tile depth-ordered segments;
-  * per-entry splat parameters are gathered once into a packed
-    [M, 16] float32 matrix in sorted-entry order, so downstream consumers
-    read contiguous rows (Pallas DMAs exact segments; XLA slices padded
-    blocks).
-
-Entry budget overflow drops the FARTHEST entries of a tile first (keys are
-depth-ordered), degrading background before foreground.
+  * the 16 packed splat parameters travel through the sort AS PAYLOAD
+    OPERANDS — measured on TPU, lax.sort with 16 payload columns costs the
+    same as a bare key sort (~5 ms @ 1.8M), while reordering via row
+    gathers costs 7-22 ms.  The output is a transposed [16, M] parameter
+    matrix whose lane axis is entry order: exactly the layout the Pallas
+    kernel DMAs.
 """
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import NamedTuple
 
@@ -31,7 +29,7 @@ import jax.numpy as jnp
 
 from pegasus_tpu.ops.projection import ProjectedGaussians
 
-# packed parameter layout (one row per tile-entry)
+# packed parameter layout (row index in TileBins.params_t)
 PARAM_DIM = 16
 P_MX, P_MY = 0, 1
 P_CA, P_CB, P_CC = 2, 3, 4
@@ -44,44 +42,44 @@ P_ENV = 12  # 1.0 if environment splat (object_id == 0)
 
 
 class TileBins(NamedTuple):
-    """Per-tile entry segments over a padded packed parameter matrix.
+    """Depth-ordered per-tile entry segments, transposed parameter layout.
 
-    Segment starts are aligned to the compositing chunk size (``block``):
-    every tile's entries occupy whole [block, 16] groups, so the Pallas
-    backend can DMA lane-aligned [16, block] slabs and the XLA backend can
-    slice dense windows.  Padding entries point at an all-zero parameter
-    row (opacity 0) and are additionally masked by tile_count.
+    params_t[f, e] = field f of entry e; entries are sorted by
+    (tile, depth); each tile's entries are the contiguous range
+    [tile_start[t], tile_start[t] + tile_count[t]).  The lane axis is
+    padded so kernels may read 128-aligned windows past any segment.
     """
 
-    params: jnp.ndarray  # [M_pad, 16] packed entry params, (tile, depth)-ordered
-    tile_start: jnp.ndarray  # [n_tiles] entry offset, multiple of block
-    tile_count: jnp.ndarray  # [n_tiles] real entry count per tile
+    params_t: jnp.ndarray  # [16, M_pad] f32
+    tile_start: jnp.ndarray  # [n_tiles] i32 (arbitrary alignment)
+    tile_count: jnp.ndarray  # [n_tiles] i32
     n_tiles_x: int
     n_tiles_y: int
     tile: int
-    block: int
 
 
-def _pack_params(proj: ProjectedGaussians) -> jnp.ndarray:
-    n = proj.mean2d.shape[0]
-    cols = [
-        proj.mean2d[:, 0],
-        proj.mean2d[:, 1],
-        proj.conic[:, 0],
-        proj.conic[:, 1],
-        proj.conic[:, 2],
+def _pack_columns(proj: ProjectedGaussians):
+    """16 per-splat parameter columns (PARAM_DIM order)."""
+    n = proj.mean_x.shape[0]
+    zero = jnp.zeros((n,), jnp.float32)
+    return [
+        proj.mean_x,
+        proj.mean_y,
+        proj.conic_a,
+        proj.conic_b,
+        proj.conic_c,
         proj.opacity,
-        proj.color[:, 0],
-        proj.color[:, 1],
-        proj.color[:, 2],
+        proj.color_r,
+        proj.color_g,
+        proj.color_b,
         proj.depth,
         proj.radius,
         proj.object_id.astype(jnp.float32),
         (proj.object_id == 0).astype(jnp.float32),
+        zero,
+        zero,
+        zero,
     ]
-    packed = jnp.stack(cols, axis=1)
-    pad = PARAM_DIM - packed.shape[1]
-    return jnp.pad(packed, ((0, 0), (0, pad)))
 
 
 def bin_splats(
@@ -92,9 +90,9 @@ def bin_splats(
     a_small: int = 6,
     big_budget: int = 8192,
     a_big: int = 64,
-    block: int = 256,
+    lane_pad: int = 1024,
 ) -> TileBins:
-    n = proj.mean2d.shape[0]
+    n = proj.mean_x.shape[0]
     ntx = -(-width // tile)
     nty = -(-height // tile)
     n_tiles = ntx * nty
@@ -111,7 +109,7 @@ def bin_splats(
     rank_q = depth_rank >> rank_shift
 
     # clipped tile bboxes
-    mx, my = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    mx, my = proj.mean_x, proj.mean_y
     r = proj.radius
     tx0 = jnp.clip(jnp.floor((mx - r) / tile), 0, ntx - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((mx + r) / tile), 0, ntx - 1).astype(jnp.int32)
@@ -125,92 +123,124 @@ def bin_splats(
     w_t = tx1 - tx0 + 1
     h_t = ty1 - ty0 + 1
     area = jnp.where(onscreen, w_t * h_t, 0)
-    is_big = area > a_small
 
-    # big bucket: compact the (rare) wide splats via top_k
-    big_vals, big_idx = jax.lax.top_k(area * is_big, big_budget)
-    in_big = jnp.zeros(n, bool).at[big_idx].set(big_vals > a_small)
+    sentinel = jnp.int32(n_tiles << depth_bits)
+    side = max(1, int(math.isqrt(a_small)))
+    core_w, core_h = side, a_small // side
 
-    def emit(src_idx, cap):
-        """[K, cap] tile ids (+sentinel) for each source splat, row-major
-        over its clipped bbox; entries beyond the bbox area are invalid."""
-        s_tx0, s_ty0 = tx0[src_idx], ty0[src_idx]
-        s_w, s_h = w_t[src_idx], h_t[src_idx]
-        # overflow fallback: shrink the bbox around the mean tile
-        over = (s_w * s_h) > cap
-        cw = jnp.clip(jnp.floor(mx[src_idx] / tile), 0, ntx - 1).astype(jnp.int32)
-        ch = jnp.clip(jnp.floor(my[src_idx] / tile), 0, nty - 1).astype(jnp.int32)
-        side = max(1, int(math.isqrt(cap)))
-        s_tx0 = jnp.where(over, jnp.clip(cw - side // 2, 0, ntx - 1), s_tx0)
-        s_ty0 = jnp.where(over, jnp.clip(ch - side // 2, 0, nty - 1), s_ty0)
-        s_w = jnp.where(over, jnp.minimum(side, ntx - s_tx0), s_w)
-        s_h = jnp.where(over, jnp.minimum(cap // side, nty - s_ty0), s_h)
+    def core_window(s_tx0, s_ty0, s_w, s_h, s_mx, s_my):
+        """The <= a_small tile window every splat gets from the small
+        bucket: its full bbox when it fits, else a core_w x core_h window
+        around the mean tile.  Deterministic per splat, so the big bucket
+        can exclude exactly this region (no double emission)."""
+        over = (s_w * s_h) > a_small
+        cw = jnp.clip(jnp.floor(s_mx / tile), 0, ntx - 1).astype(jnp.int32)
+        ch = jnp.clip(jnp.floor(s_my / tile), 0, nty - 1).astype(jnp.int32)
+        c_tx0 = jnp.where(over, jnp.clip(cw - core_w // 2, 0, ntx - 1), s_tx0)
+        c_ty0 = jnp.where(over, jnp.clip(ch - core_h // 2, 0, nty - 1), s_ty0)
+        c_w = jnp.where(over, jnp.minimum(core_w, ntx - c_tx0), s_w)
+        c_h = jnp.where(over, jnp.minimum(core_h, nty - c_ty0), s_h)
+        return c_tx0, c_ty0, c_w, c_h
 
-        slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
-        txs = s_tx0[:, None] + slot % s_w[:, None]
-        tys = s_ty0[:, None] + slot // s_w[:, None]
-        valid = slot < (s_w * s_h)[:, None]
-        return txs, tys, valid
-
-    # small bucket: every splat, capped at a_small slots
-    small_src = jnp.arange(n, dtype=jnp.int32)
-    s_txs, s_tys, s_valid = emit(small_src, a_small)
-    s_valid = s_valid & (area > 0)[:, None] & (~in_big)[:, None]
-    small_tile = s_tys * ntx + s_txs
+    # -- small bucket: EVERY splat emits its core window ----------------------
+    c_tx0, c_ty0, c_w, c_h = core_window(tx0, ty0, w_t, h_t, mx, my)
+    slot = jnp.arange(a_small, dtype=jnp.int32)[None, :]
+    s_txs = c_tx0[:, None] + slot % c_w[:, None]
+    s_tys = c_ty0[:, None] + slot // c_w[:, None]
+    s_valid = (slot < (c_w * c_h)[:, None]) & (area > 0)[:, None]
     small_key = jnp.where(
         s_valid,
-        (small_tile << depth_bits) | rank_q[:, None],
-        jnp.int32((n_tiles << depth_bits)),
-    )
-    small_val = jnp.broadcast_to(small_src[:, None], small_key.shape)
+        ((s_tys * ntx + s_txs) << depth_bits) | rank_q[:, None],
+        sentinel,
+    )  # [N, a_small]
 
-    # big bucket
-    b_txs, b_tys, b_valid = emit(big_idx, a_big)
-    b_valid = b_valid & in_big[big_idx][:, None]
-    big_tile = b_tys * ntx + b_txs
+    # -- big bucket: top big_budget splats by area emit (bbox minus core) -----
+    # Compaction rides a payload sort (per-element gathers measured ~1.7 us
+    # EACH on TPU; sorts move payload columns at vector speed).
+    cols = _pack_columns(proj)
+    big_key_order = jnp.where(area > a_small, -area, 1)
+    compact = jax.lax.sort(
+        tuple(
+            [big_key_order, tx0, ty0, w_t, h_t, rank_q]
+            + cols
+        ),
+        num_keys=1,
+        is_stable=False,
+    )
+    sl = lambda x: x[:big_budget]
+    b_isbig = sl(compact[0]) < 0
+    b_tx0, b_ty0, b_w, b_h, b_rank = (sl(c) for c in compact[1:6])
+    b_cols = [sl(c) for c in compact[6:]]
+    b_mx, b_my = b_cols[P_MX], b_cols[P_MY]
+
+    bc_tx0, bc_ty0, bc_w, bc_h = core_window(b_tx0, b_ty0, b_w, b_h, b_mx, b_my)
+    # clamp oversized bboxes around the core (same shrink rule, cap a_big)
+    over_b = (b_w * b_h) > a_big
+    big_side = max(1, int(math.isqrt(a_big)))
+    e_tx0 = jnp.where(
+        over_b, jnp.clip(bc_tx0 - (big_side - core_w) // 2, 0, ntx - 1), b_tx0
+    )
+    e_ty0 = jnp.where(
+        over_b, jnp.clip(bc_ty0 - (a_big // big_side - core_h) // 2, 0, nty - 1),
+        b_ty0,
+    )
+    e_w = jnp.where(over_b, jnp.minimum(big_side, ntx - e_tx0), b_w)
+    e_h = jnp.where(over_b, jnp.minimum(a_big // big_side, nty - e_ty0), b_h)
+
+    bslot = jnp.arange(a_big, dtype=jnp.int32)[None, :]
+    b_txs = e_tx0[:, None] + bslot % e_w[:, None]
+    b_tys = e_ty0[:, None] + bslot // e_w[:, None]
+    in_core = (
+        (b_txs >= bc_tx0[:, None])
+        & (b_txs < (bc_tx0 + bc_w)[:, None])
+        & (b_tys >= bc_ty0[:, None])
+        & (b_tys < (bc_ty0 + bc_h)[:, None])
+    )
+    b_valid = (
+        (bslot < (e_w * e_h)[:, None]) & ~in_core & b_isbig[:, None]
+    )
     big_key = jnp.where(
         b_valid,
-        (big_tile << depth_bits) | rank_q[big_idx][:, None],
-        jnp.int32((n_tiles << depth_bits)),
-    )
-    big_val = jnp.broadcast_to(big_idx[:, None], big_key.shape)
+        ((b_tys * ntx + b_txs) << depth_bits) | b_rank[:, None],
+        sentinel,
+    )  # [big_budget, a_big]
 
     keys = jnp.concatenate([small_key.reshape(-1), big_key.reshape(-1)])
-    vals = jnp.concatenate([small_val.reshape(-1), big_val.reshape(-1)])
+    # spread sentinel keys: ~60-70% of entries are invalid and identical
+    # max-keys otherwise, which skews the sort's internal partitioning
+    m_total_s = keys.shape[0]
+    spread = jnp.arange(m_total_s, dtype=jnp.int32) & jnp.int32(
+        (1 << depth_bits) - 1
+    )
+    keys = jnp.where(keys == sentinel, sentinel + spread, keys)
 
-    sorted_key, sorted_src = jax.lax.sort((keys, vals), num_keys=1, is_stable=True)
-    entry_tile = (sorted_key >> depth_bits).astype(jnp.int32)
+    # payload columns: replicate per-splat params across their slots
+    payloads = []
+    for c, bc in zip(cols, b_cols):
+        small_p = jnp.broadcast_to(c[:, None], small_key.shape).reshape(-1)
+        big_p = jnp.broadcast_to(bc[:, None], big_key.shape).reshape(-1)
+        payloads.append(jnp.concatenate([small_p, big_p]))
+
+    # keys are unique among valid entries (distinct tile or distinct depth
+    # rank), so an unstable sort is deterministic where it matters; only
+    # sentinel-keyed garbage entries may permute.
+    out = jax.lax.sort(tuple([keys] + payloads), num_keys=1, is_stable=False)
+    sorted_key = out[0]
     m_total = keys.shape[0]
 
+    entry_tile = (sorted_key >> depth_bits).astype(jnp.int32)
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     seg_start = jnp.searchsorted(entry_tile, tile_ids, side="left").astype(jnp.int32)
     seg_end = jnp.searchsorted(entry_tile, tile_ids, side="right").astype(jnp.int32)
-    counts = seg_end - seg_start
 
-    # block-align every tile segment (static upper bound on the padded size)
-    padded_counts = ((counts + block - 1) // block) * block
-    padded_start = jnp.cumsum(padded_counts) - padded_counts
-    m_pad = ((m_total + block - 1) // block) * block + n_tiles * block
-
-    entry_valid = entry_tile < n_tiles
-    tile_of = jnp.clip(entry_tile, 0, n_tiles - 1)
-    within = jnp.arange(m_total, dtype=jnp.int32) - seg_start[tile_of]
-    dest = jnp.where(entry_valid, padded_start[tile_of] + within, m_pad)
-
-    # inverse mapping: padded position -> source splat (dummy row = n)
-    inv = jnp.full((m_pad + 1,), n, jnp.int32).at[dest].set(sorted_src)[:m_pad]
-
-    packed = jnp.concatenate(
-        [_pack_params(proj), jnp.zeros((1, PARAM_DIM), jnp.float32)], axis=0
-    )
-    params_pad = packed[inv]  # [M_pad, 16]
+    params_t = jnp.stack(out[1:], axis=0)  # [16, M]
+    params_t = jnp.pad(params_t, ((0, 0), (0, lane_pad)))
 
     return TileBins(
-        params=params_pad,
-        tile_start=padded_start,
-        tile_count=counts,
+        params_t=params_t,
+        tile_start=seg_start,
+        tile_count=seg_end - seg_start,
         n_tiles_x=ntx,
         n_tiles_y=nty,
         tile=tile,
-        block=block,
     )

@@ -6,15 +6,16 @@ cumulative products, weights) round-trips HBM — measured ~150 ms/frame at
 640x480.  This kernel keeps the whole per-tile pipeline in VMEM:
 
   grid = one program per 16x16 image tile;
-  scalar-prefetched per-tile block offsets index a depth-ordered packed
-  entry tensor [n_blocks, 16, C] in HBM (built by ops/binning.py with
-  block-aligned segments, so every DMA is a lane-aligned [16, C] slab);
-  the kernel double-buffers entry blocks, evaluates per-pixel alphas on
-  the VPU, turns front-to-back 'over' into an exclusive cumulative product
-  in log space (cumsum as a triangular MXU matmul — mosaic has no cumsum),
-  and accumulates all modality channels with [px, C] @ [C, F] MXU matmuls.
-  HBM traffic per frame = entry params + final tile accumulators
-  (~100 MB) instead of ~13 GB.
+  scalar-prefetched tile segment offsets index the transposed entry
+  parameter matrix [16, M] built by ops/binning.py (entries depth-ordered
+  within contiguous per-tile segments);
+  the kernel DMAs 128-lane-aligned windows around its segment
+  (double-buffered), masks the out-of-segment lanes, evaluates per-pixel
+  alphas on the VPU, turns front-to-back 'over' into an exclusive
+  cumulative product in log space (cumsum as a triangular MXU matmul —
+  mosaic has no cumsum lowering), and accumulates all modality channels
+  with [px, W] @ [W, F] MXU matmuls.  HBM traffic per frame = entry
+  params + final tile accumulators (~100 MB) instead of ~13 GB.
 
 Output channel layout (F_OUT columns per pixel):
   0:3 rgb (premultiplied), 3 depth, 4 alpha, 5:5+K seg_full,
@@ -38,17 +39,19 @@ from pegasus_tpu.ops.binning import TileBins, bin_splats
 from pegasus_tpu.ops.projection import project_gaussians
 from pegasus_tpu.ops.rasterize_ref import RenderOutputs
 
+_ALIGN = 128  # lane alignment of DMA windows
+
 
 def _composite_kernel(
     # scalar prefetch
-    start_blk_ref,  # [n_tiles] i32: first entry block of each tile
-    count_ref,  # [n_tiles] i32: real entry count of each tile
+    start_ref,  # [n_tiles] i32: first entry of each tile's segment
+    count_ref,  # [n_tiles] i32: entry count of each tile
     # inputs
-    params_hbm,  # [n_blocks, 16, C] f32, memory_space=ANY
+    params_hbm,  # [16, M_pad] f32, memory_space=ANY
     # outputs
     out_ref,  # [1, PX, F_OUT] f32 VMEM block
     # scratch
-    buf_ref,  # [2, 16, C] f32 VMEM
+    buf_ref,  # [2, 16, W] f32 VMEM
     sem_ref,  # DMA semaphores (2,)
     *,
     tile: int,
@@ -57,10 +60,13 @@ def _composite_kernel(
     max_objects: int,
 ):
     i = pl.program_id(0)
-    start_blk = start_blk_ref[i]
+    start = start_ref[i]
     count = count_ref[i]
+    base = (start // _ALIGN) * _ALIGN
+    off = start - base
     px_n = tile * tile
     k = max_objects
+    w_lanes = chunk + _ALIGN
 
     # pixel centers of this tile: linear index l = y_in * tile + x_in
     ty = i // ntx
@@ -72,8 +78,8 @@ def _composite_kernel(
     n_chunks = (count + chunk - 1) // chunk
 
     # cumsum along lanes as a triangular MXU matmul (no cumsum in mosaic)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    cc_i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, w_lanes), 0)
+    cc_i = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, w_lanes), 1)
     tri = (rr <= cc_i).astype(jnp.float32)  # U[c, j] = 1 iff c <= j
 
     def cumsum_lanes(x):
@@ -81,7 +87,7 @@ def _composite_kernel(
 
     def get_dma(slot, c_i):
         return pltpu.make_async_copy(
-            params_hbm.at[start_blk + c_i],
+            params_hbm.at[:, pl.ds(base + c_i * chunk, w_lanes)],
             buf_ref.at[slot],
             sem_ref.at[slot],
         )
@@ -99,14 +105,19 @@ def _composite_kernel(
             get_dma((c_i + 1) % 2, c_i + 1).start()
 
         get_dma(slot, c_i).wait()
-        p = buf_ref[slot]  # [16, C]: rows are parameter fields
+        p = buf_ref[slot]  # [16, W]: rows are parameter fields
 
+        # window lane w holds global entry base + c_i*chunk + w; it belongs
+        # to this chunk iff w in [off, off+chunk) and its segment-relative
+        # index e = c_i*chunk + (w - off) is < count.
+        w_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1)
         entry_ok = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + c_i * chunk
-            < count
-        )  # [1, C]
+            (w_ids >= off)
+            & (w_ids < off + chunk)
+            & (c_i * chunk + (w_ids - off) < count)
+        )
 
-        mx = p[binning.P_MX : binning.P_MX + 1, :]  # [1, C]
+        mx = p[binning.P_MX : binning.P_MX + 1, :]  # [1, W]
         my = p[binning.P_MY : binning.P_MY + 1, :]
         ca = p[binning.P_CA : binning.P_CA + 1, :]
         cb = p[binning.P_CB : binning.P_CB + 1, :]
@@ -115,7 +126,7 @@ def _composite_kernel(
         rad = p[binning.P_RADIUS : binning.P_RADIUS + 1, :]
         is_env = p[binning.P_ENV : binning.P_ENV + 1, :] > 0.5
 
-        dx = pxs - mx  # [PX, C]
+        dx = pxs - mx  # [PX, W]
         dy = pys - my
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         alpha = jnp.minimum(opac * jnp.exp(jnp.minimum(power, 0.0)), 0.99)
@@ -128,23 +139,23 @@ def _composite_kernel(
         )
         alphas = jnp.where(keep, alpha, 0.0)
 
-        # transposed feature matrix [F, C]: rgb, depth, 1, onehot(K)
-        obj = p[binning.P_OBJ : binning.P_OBJ + 1, :]  # [1, C]
-        kl = jax.lax.broadcasted_iota(jnp.int32, (k, chunk), 0).astype(
+        # transposed feature matrix [F, W]: rgb, depth, 1, onehot(K)
+        obj = p[binning.P_OBJ : binning.P_OBJ + 1, :]  # [1, W]
+        kl = jax.lax.broadcasted_iota(jnp.int32, (k, w_lanes), 0).astype(
             jnp.float32
         )
-        onehot_t = (jnp.abs(kl - obj) < 0.5).astype(jnp.float32)  # [K, C]
+        onehot_t = (jnp.abs(kl - obj) < 0.5).astype(jnp.float32)  # [K, W]
         feat_t = jnp.concatenate(
             [
-                p[binning.P_R : binning.P_B + 1, :],  # [3, C]
+                p[binning.P_R : binning.P_B + 1, :],  # [3, W]
                 p[binning.P_DEPTH : binning.P_DEPTH + 1, :],
-                jnp.ones((1, chunk), jnp.float32),
+                jnp.ones((1, w_lanes), jnp.float32),
                 onehot_t,
             ],
             axis=0,
-        )  # [5 + K, C]
+        )  # [5 + K, W]
 
-        def dot_t(w, f_t):  # w [PX, C] @ f_t.T -> [PX, F]
+        def dot_t(w, f_t):  # w [PX, W] x f_t [F, W] -> [PX, F]
             return jax.lax.dot_general(
                 w, f_t,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -153,7 +164,7 @@ def _composite_kernel(
 
         log1m = jnp.log1p(-alphas)
         excl = jnp.exp(cumsum_lanes(log1m) - log1m)
-        w_full = alphas * excl * t_full  # [PX, C]
+        w_full = alphas * excl * t_full  # [PX, W]
         acc_full = dot_t(w_full, feat_t)  # [PX, 5+K]
         new_t_full = t_full * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
 
@@ -186,23 +197,16 @@ def composite_tiles_pallas(
     height: int,
     background: jnp.ndarray,
     max_objects: int = 8,
+    chunk: int = 256,
     interpret: bool = False,
 ) -> RenderOutputs:
     tile = bins.tile
-    chunk = bins.block
     ntx, nty = bins.n_tiles_x, bins.n_tiles_y
     n_tiles = ntx * nty
     px_n = tile * tile
     k = max_objects
     f_out = 5 + 3 * k + 2
-
-    # [M_pad, 16] -> [n_blocks, 16, C] lane-aligned slabs
-    m_pad = bins.params.shape[0]
-    n_blocks = m_pad // chunk
-    params_blocked = jnp.swapaxes(
-        bins.params.reshape(n_blocks, chunk, binning.PARAM_DIM), 1, 2
-    )
-    start_blk = bins.tile_start // chunk
+    w_lanes = chunk + _ALIGN
 
     kernel = functools.partial(
         _composite_kernel,
@@ -222,7 +226,7 @@ def composite_tiles_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, binning.PARAM_DIM, chunk), jnp.float32),
+            pltpu.VMEM((2, binning.PARAM_DIM, w_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -232,7 +236,7 @@ def composite_tiles_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, px_n, f_out), jnp.float32),
         interpret=interpret,
-    )(start_blk, bins.tile_count, params_blocked)
+    )(bins.tile_start, bins.tile_count, bins.params_t)
 
     background = jnp.asarray(background, jnp.float32)
 
@@ -276,7 +280,7 @@ def rasterize_pallas(
     bins = bin_splats(
         proj, cam.width, cam.height, tile=tile,
         a_small=a_small, big_budget=min(big_budget, cloud.num_splats),
-        a_big=a_big, block=chunk,
+        a_big=a_big, lane_pad=chunk + 2 * _ALIGN,
     )
     return composite_tiles_pallas(
         bins,
@@ -284,5 +288,6 @@ def rasterize_pallas(
         cam.height,
         jnp.asarray(background, jnp.float32),
         max_objects=max_objects,
+        chunk=chunk,
         interpret=interpret,
     )

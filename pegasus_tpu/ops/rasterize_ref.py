@@ -65,14 +65,14 @@ def rasterize_projected(
     max_objects: static bound on distinct object ids (env id 0 occupies
     channel 0; object ids 1..max_objects-1 map to their own channel).
     """
-    n = proj.mean2d.shape[0]
+    n = proj.mean_x.shape[0]
     pad = (-n) % chunk
     if pad:
         proj = jax.tree.map(
             lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)), proj
         )
         proj = proj._replace(valid=proj.valid.at[n:].set(False))
-    n_padded = proj.mean2d.shape[0]
+    n_padded = proj.mean_x.shape[0]
     n_chunks = n_padded // chunk
 
     # depth-ascending order among valid splats (invalid pushed to the back)
@@ -104,7 +104,8 @@ def rasterize_projected(
         excl = jnp.exp(jnp.cumsum(log1m, axis=1) - log1m)  # exclusive cumprod
         w_full = alphas * excl * t_full[:, None]  # [P, C]
 
-        rgb = rgb + jnp.matmul(w_full, cproj.color, precision=_PREC)  # [P, 3]
+        c_rgb = jnp.stack([cproj.color_r, cproj.color_g, cproj.color_b], axis=1)
+        rgb = rgb + jnp.matmul(w_full, c_rgb, precision=_PREC)  # [P, 3]
         depth = depth + jnp.matmul(w_full, cproj.depth, precision=_PREC)  # [P]
         seg_full = seg_full + jnp.matmul(w_full, c_onehot, precision=_PREC)  # [P, K]
         t_full = t_full * jnp.exp(jnp.sum(log1m, axis=1))

@@ -44,14 +44,16 @@ def composite_tiles_xla(
     ntx, nty = bins.n_tiles_x, bins.n_tiles_y
     n_tiles = ntx * nty
     px_per_tile = tile * tile
-    m_total = bins.params.shape[0]
     k = max_objects
+    chunk = min(chunk, max_per_tile)
 
+    params = bins.params_t.T  # [M_pad, 16]
+    m_total = params.shape[0]
     counts = jnp.minimum(bins.tile_count, max_per_tile)
     l_idx = jnp.arange(max_per_tile, dtype=jnp.int32)
     pos = jnp.clip(bins.tile_start[:, None] + l_idx[None, :], 0, m_total - 1)
     entry_valid = l_idx[None, :] < counts[:, None]
-    g = bins.params[pos]  # [n_tiles, L, 16]
+    g = params[pos]  # [n_tiles, L, 16]
 
     g_opac = jnp.where(entry_valid, g[..., binning.P_OPAC], 0.0)
     obj_id = g[..., binning.P_OBJ].astype(jnp.int32)
@@ -175,7 +177,7 @@ def rasterize_projected_tiled(
 ) -> RenderOutputs:
     bins = bin_splats(
         proj, width, height, tile=tile,
-        a_small=a_small, big_budget=big_budget, a_big=a_big,
+        a_small=a_small, big_budget=big_budget, a_big=a_big, lane_pad=128,
     )
     return composite_tiles_xla(
         bins, width, height, background,

@@ -110,16 +110,22 @@ def eval_sh(deg: int, sh, dirs):
     Returns [..., C] raw radiance (caller adds +0.5 and clamps, as the CUDA
     rasterizer does).
     """
+    # broadcast-FMA formulation: tiny contraction dims make einsum/matmul a
+    # poor fit on TPU (measured 16 ms in the projection stage); explicit
+    # multiply-adds stay on the VPU and fuse.
     result = C0 * sh[..., 0, :]
     if deg >= 1:
         b1 = _basis_band1(dirs)  # [..., 3]
-        result = result + jnp.einsum("...k,...kc->...c", b1, sh[..., 1:4, :], precision=_PREC)
+        for i in range(3):
+            result = result + b1[..., i : i + 1] * sh[..., 1 + i, :]
     if deg >= 2:
         b2 = _basis_band2(dirs)
-        result = result + jnp.einsum("...k,...kc->...c", b2, sh[..., 4:9, :], precision=_PREC)
+        for i in range(5):
+            result = result + b2[..., i : i + 1] * sh[..., 4 + i, :]
     if deg >= 3:
         b3 = _basis_band3(dirs)
-        result = result + jnp.einsum("...k,...kc->...c", b3, sh[..., 9:16, :], precision=_PREC)
+        for i in range(7):
+            result = result + b3[..., i : i + 1] * sh[..., 9 + i, :]
     return result
 
 

@@ -1,0 +1,81 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pegasus_tpu.camera import Camera
+from pegasus_tpu.gs.cloud import merge
+from pegasus_tpu.ops.rasterize_ref import rasterize_reference
+from pegasus_tpu.parallel.mesh import make_mesh, shard_batch
+from pegasus_tpu.parallel.sharded_render import rasterize_splat_sharded
+from pegasus_tpu.testing import make_box_cloud, make_plane_cloud
+
+
+def psnr(a, b, peak=1.0):
+    mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+    return 10 * np.log10(peak**2 / mse) if mse > 0 else np.inf
+
+
+@pytest.fixture(scope="module")
+def scene_and_cam():
+    rng = np.random.default_rng(3)
+    env = make_plane_cloud(rng, n=500, size=1.5)
+    b1 = make_box_cloud(rng, n=200, center=(0.05, 0, 0.08), object_id=1)
+    b2 = make_box_cloud(
+        rng, n=160, center=(-0.1, 0.05, 0.05), object_id=2,
+        rgb=(0.2, 0.5, 0.9), half_extents=(0.04, 0.04, 0.05),
+    )
+    scene = merge([env, b1, b2])
+    cam = Camera.look_at(
+        eye=(0.5, 0.4, 0.6), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(45), width=48, height=40,
+    )
+    return scene, cam
+
+
+def test_device_count():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+
+
+def test_splat_sharded_matches_golden(scene_and_cam):
+    """Depth-contiguous splat shards + ordered 'over' fold == sequential
+    compositing."""
+    scene, cam = scene_and_cam
+    mesh = make_mesh((8,), ("splat",))
+    pad = (-scene.num_splats) % 8
+    padded = scene.padded(scene.num_splats + pad)
+
+    ref = rasterize_reference(scene, cam, background=(0.2, 0.1, 0.3), max_objects=4)
+    shd = rasterize_splat_sharded(
+        padded, cam, mesh, background=(0.2, 0.1, 0.3), max_objects=4, chunk=128
+    )
+    assert psnr(ref.rgb, shd.rgb) > 40
+    assert psnr(ref.depth, shd.depth, peak=float(np.asarray(ref.depth).max())) > 40
+    for name in ("seg_weights", "vis_weights", "amodal", "alpha"):
+        assert psnr(getattr(ref, name), getattr(shd, name)) > 40, name
+
+
+def test_scene_batch_sharding(scene_and_cam):
+    """Scene-axis DP: vmapped renders over a sharded scene batch."""
+    scene, cam = scene_and_cam
+    mesh = make_mesh((8,), ("scene",))
+
+    # batch = 8 shifted copies of the scene
+    shifts = jnp.linspace(-0.05, 0.05, 8)
+    batch = jax.vmap(lambda s: scene.replace(
+        xyz=scene.xyz + jnp.stack([s, 0 * s, 0 * s])
+    ))(shifts)
+    batch = shard_batch(batch, mesh, "scene")
+
+    fn = jax.jit(
+        jax.vmap(
+            lambda c: rasterize_reference(c, cam, max_objects=4, chunk=128).rgb
+        )
+    )
+    rgb = fn(batch)
+    assert rgb.shape == (8, 40, 48, 3)
+    assert bool(jnp.all(jnp.isfinite(rgb)))
+    # shifted scenes give different images
+    assert float(jnp.abs(rgb[0] - rgb[7]).max()) > 0.05
