@@ -1,0 +1,443 @@
+"""3D Gaussian Splatting training, padded-capacity JAX edition.
+
+Functional rebuild of the asset-training loop the reference delegates to
+its gaussian-splatting submodule (reference: src/gs/gs_training.py:13-62,
+SURVEY 3.5): per iteration pick a camera, render, L1+D-SSIM loss, Adam,
+periodic densify/split/clone/prune and opacity reset, SH-degree warmup,
+PLY checkpoints at test/save iterations.
+
+TPU-first differences:
+  * the splat set lives in FIXED-CAPACITY buffers with an ``alive`` mask —
+    XLA shapes never change; densification fills dead slots, pruning marks
+    slots dead (the reference reallocates torch tensors + rebuilds Adam
+    state every densify, src/gs/gaussian_model.py:290-456);
+  * densify/prune is itself a jitted function (compaction via sort, no
+    host round trip);
+  * gradients flow through the golden/tiled rasterizer (pure JAX ops);
+    the screen-space positional gradient that drives densification is
+    taken w.r.t. a zero-initialized mean2d offset, exactly the statistic
+    the CUDA backward accumulates (gaussian_model.py:453-456).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from pegasus_tpu.camera import Camera
+from pegasus_tpu.gs.cloud import GaussianCloud
+from pegasus_tpu.gs.knn import mean_knn_dist2
+from pegasus_tpu.training.losses import gs_loss
+from pegasus_tpu.utils import sh as shlib
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Inria OptimizationParams defaults (consumed via the submodule's
+    argparse groups, reference: pegasus.py:61-63)."""
+
+    capacity: int = 200_000
+    iterations: int = 30_000
+    position_lr_init: float = 1.6e-4
+    position_lr_final: float = 1.6e-6
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 2.5e-3
+    opacity_lr: float = 0.05
+    scaling_lr: float = 5e-3
+    rotation_lr: float = 1e-3
+    lambda_dssim: float = 0.2
+    percent_dense: float = 0.01
+    densify_grad_threshold: float = 2e-4
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    sh_increase_interval: int = 1000
+    max_sh_degree: int = 3
+    min_opacity: float = 0.005
+    max_split_per_round: int = 8192
+
+
+class TrainState(struct.PyTreeNode):
+    cloud: GaussianCloud
+    opt_state: optax.OptState
+    xyz_grad_accum: jnp.ndarray  # [cap]
+    denom: jnp.ndarray  # [cap]
+    max_radii2d: jnp.ndarray  # [cap]
+    step: jnp.ndarray  # scalar int32
+    spatial_lr_scale: jnp.ndarray  # scalar
+
+
+def _param_dict(cloud: GaussianCloud) -> dict:
+    return {
+        "xyz": cloud.xyz,
+        "f_dc": cloud.f_dc,
+        "f_rest": cloud.f_rest,
+        "opacity": cloud.opacity,
+        "scale": cloud.scale,
+        "rot": cloud.rot,
+    }
+
+
+def _with_params(cloud: GaussianCloud, p: dict) -> GaussianCloud:
+    return cloud.replace(**p)
+
+
+def init_from_points(
+    points: np.ndarray,
+    colors: np.ndarray,
+    config: TrainConfig,
+    spatial_lr_scale: float = 1.0,
+) -> GaussianCloud:
+    """create_from_pcd: knn-initialized isotropic splats
+    (reference: src/gs/gaussian_model.py:134-163)."""
+    n = points.shape[0]
+    cap = config.capacity
+    if n > cap:
+        raise ValueError(f"{n} seed points exceed capacity {cap}")
+    d2 = np.asarray(mean_knn_dist2(jnp.asarray(points, jnp.float32), k=3))
+    d2 = np.maximum(d2, 1e-7)
+    scales = np.log(np.sqrt(d2))[:, None].repeat(3, axis=1)
+    k = (config.max_sh_degree + 1) ** 2 - 1
+    inv_sigmoid = lambda p: np.log(p / (1 - p))
+    cloud = GaussianCloud.create(
+        xyz=points.astype(np.float32),
+        f_dc=np.asarray(shlib.rgb2sh(colors.astype(np.float32)))[:, None, :],
+        f_rest=np.zeros((n, k, 3), np.float32),
+        opacity=np.full((n, 1), inv_sigmoid(0.1), np.float32),
+        scale=scales.astype(np.float32),
+        rot=np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+    )
+    return cloud.padded(cap)
+
+
+class GSTrainer:
+    def __init__(
+        self,
+        config: TrainConfig,
+        render_fn: Optional[Callable] = None,
+        width: int = 128,
+        height: int = 128,
+        background=(0.0, 0.0, 0.0),
+    ):
+        self.config = config
+        self.width = width
+        self.height = height
+        self.background = jnp.asarray(background, jnp.float32)
+        if render_fn is None:
+            from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
+
+            render_fn = partial(
+                rasterize_tiled, max_objects=1, max_per_tile=1024
+            )
+        self.render_fn = render_fn
+
+        c = config
+        self._lr_sched = optax.exponential_decay(
+            init_value=c.position_lr_init,
+            transition_steps=c.position_lr_max_steps,
+            decay_rate=c.position_lr_final / c.position_lr_init,
+            end_value=c.position_lr_final,
+        )
+        self.optimizer = optax.multi_transform(
+            {
+                "xyz": optax.adam(self._lr_sched, eps=1e-15),
+                "f_dc": optax.adam(c.feature_lr, eps=1e-15),
+                "f_rest": optax.adam(c.feature_lr / 20.0, eps=1e-15),
+                "opacity": optax.adam(c.opacity_lr, eps=1e-15),
+                "scale": optax.adam(c.scaling_lr, eps=1e-15),
+                "rot": optax.adam(c.rotation_lr, eps=1e-15),
+            },
+            {
+                "xyz": "xyz", "f_dc": "f_dc", "f_rest": "f_rest",
+                "opacity": "opacity", "scale": "scale", "rot": "rot",
+            },
+        )
+
+    # -- state ------------------------------------------------------------------
+
+    def init_state(self, cloud: GaussianCloud, spatial_lr_scale=1.0) -> TrainState:
+        cap = self.config.capacity
+        if cloud.num_splats != cap:
+            cloud = cloud.padded(cap)
+        return TrainState(
+            cloud=cloud,
+            opt_state=self.optimizer.init(_param_dict(cloud)),
+            xyz_grad_accum=jnp.zeros(cap),
+            denom=jnp.zeros(cap),
+            max_radii2d=jnp.zeros(cap),
+            step=jnp.zeros((), jnp.int32),
+            spatial_lr_scale=jnp.asarray(spatial_lr_scale, jnp.float32),
+        )
+
+    # -- one optimization step -----------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState, cam: Camera, gt_image: jnp.ndarray):
+        c = self.config
+        active_deg_f = jnp.minimum(
+            state.step // c.sh_increase_interval, c.max_sh_degree
+        )
+
+        def loss_fn(params, mean2d_offset):
+            cloud = _with_params(state.cloud, params)
+            # screen-space grad probe: shift splat means by a zero offset
+            # inside the projection by nudging xyz along camera axes is
+            # impractical; instead rasterize with xyz -> the offset enters
+            # via a custom projection wrapper below.
+            out = self._render_with_offset(cloud, cam, mean2d_offset, active_deg_f)
+            pred = jnp.clip(out.rgb, 0.0, 1.0)
+            loss, aux = gs_loss(pred, gt_image, c.lambda_dssim)
+            return loss, (aux, out)
+
+        params = _param_dict(state.cloud)
+        offset = jnp.zeros((c.capacity, 2), jnp.float32)
+        (loss, (aux, out)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, offset)
+        param_grads, offset_grad = grads
+
+        # mask gradients of dead slots
+        alive = state.cloud.alive
+
+        def mask_grad(g):
+            m = alive.reshape((-1,) + (1,) * (g.ndim - 1))
+            return jnp.where(m, g, 0.0)
+
+        param_grads = jax.tree.map(mask_grad, param_grads)
+
+        updates, opt_state = self.optimizer.update(
+            param_grads, state.opt_state, params
+        )
+        # xyz updates scale with the scene extent (Inria spatial_lr_scale)
+        updates["xyz"] = updates["xyz"] * state.spatial_lr_scale
+        new_params = optax.apply_updates(params, updates)
+        cloud = _with_params(state.cloud, new_params)
+
+        # densification statistics (reference: gaussian_model.py:453-456)
+        g2d = jnp.linalg.norm(offset_grad, axis=-1)
+        visible = g2d > 0
+        state = state.replace(
+            cloud=cloud,
+            opt_state=opt_state,
+            xyz_grad_accum=state.xyz_grad_accum + jnp.where(visible, g2d, 0.0),
+            denom=state.denom + visible.astype(jnp.float32),
+            step=state.step + 1,
+        )
+        metrics = {"loss": loss, **aux}
+        return state, metrics
+
+    def _render_with_offset(self, cloud, cam, mean2d_offset, active_deg):
+        """Render via the golden compositor with a screen-space offset
+        injected after projection (gradient probe for densification)."""
+        from pegasus_tpu.ops.projection import project_gaussians
+        from pegasus_tpu.ops.rasterize_ref import rasterize_projected
+
+        # active SH degree: zero out bands above the current degree
+        k = cloud.f_rest.shape[1]
+        band_of = jnp.asarray(
+            [1] * 3 + [2] * 5 + [3] * 7, jnp.int32
+        )[:k]
+        mask = (band_of <= active_deg).astype(jnp.float32)[None, :, None]
+        cloud = cloud.replace(f_rest=cloud.f_rest * mask)
+
+        proj = project_gaussians(cloud, cam, sh_degree=cloud.sh_degree)
+        proj = proj._replace(
+            mean_x=proj.mean_x + mean2d_offset[:, 0],
+            mean_y=proj.mean_y + mean2d_offset[:, 1],
+        )
+        return rasterize_projected(
+            proj, self.width, self.height, self.background,
+            max_objects=1, chunk=512,
+        )
+
+    # -- densify / prune -------------------------------------------------------------
+
+    @partial(jax.jit, static_argnums=(0,))
+    def densify_and_prune(self, state: TrainState, key, scene_extent):
+        """clone + split + prune with static capacity
+        (reference: gaussian_model.py:365-451)."""
+        c = self.config
+        cloud = state.cloud
+        cap = c.capacity
+
+        grads = state.xyz_grad_accum / jnp.maximum(state.denom, 1.0)
+        scaling = cloud.get_scaling()
+        max_scale = jnp.max(scaling, axis=1)
+        dense_thresh = c.percent_dense * scene_extent
+
+        hot = (grads >= c.densify_grad_threshold) & cloud.alive
+        clone_mask = hot & (max_scale <= dense_thresh)
+        split_mask = hot & (max_scale > dense_thresh)
+
+        # prune low-opacity splats now; their slots become available
+        keep = cloud.alive & (
+            jax.nn.sigmoid(cloud.opacity[:, 0]) >= c.min_opacity
+        )
+        cloud = cloud.replace(alive=keep)
+
+        # allocate free slots: dead slots first in arbitrary order
+        slot_order = jnp.argsort(cloud.alive.astype(jnp.int32))  # dead first
+
+        # candidates (compacted, bounded)
+        kmax = c.max_split_per_round
+        cand_rank = jnp.argsort(~(clone_mask | split_mask))[:kmax]
+        cand_valid = (clone_mask | split_mask)[cand_rank]
+        cand_split = split_mask[cand_rank]
+        n_new = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1  # slot rank
+        free_count = jnp.sum(~cloud.alive)
+        can_place = cand_valid & (n_new < free_count)
+        dst = slot_order[jnp.clip(n_new, 0, cap - 1)]
+        dst = jnp.where(can_place, dst, cap)  # cap = drop
+
+        src = cand_rank
+        # new splat parameters
+        src_scale = cloud.get_scaling()[src]
+        noise = jax.random.normal(key, (kmax, 3)) * src_scale
+        from pegasus_tpu.utils import quaternion as quat
+
+        rot_m = quat.quat_to_rotmat(cloud.get_rotation()[src])
+        offset = jnp.einsum("nij,nj->ni", rot_m, noise)
+        new_xyz = jnp.where(
+            cand_split[:, None], cloud.xyz[src] + offset, cloud.xyz[src]
+        )
+        new_scale = jnp.where(
+            cand_split[:, None],
+            jnp.log(src_scale / (0.8 * 2)),
+            cloud.scale[src],
+        )
+
+        def place(arr, new_rows):
+            padded = jnp.concatenate([arr, jnp.zeros_like(arr[:1])], axis=0)
+            return padded.at[dst].set(new_rows)[:cap]
+
+        cloud = cloud.replace(
+            xyz=place(cloud.xyz, new_xyz),
+            f_dc=place(cloud.f_dc, cloud.f_dc[src]),
+            f_rest=place(cloud.f_rest, cloud.f_rest[src]),
+            opacity=place(cloud.opacity, cloud.opacity[src]),
+            scale=place(cloud.scale, new_scale),
+            rot=place(cloud.rot, cloud.rot[src]),
+            alive=jnp.concatenate([cloud.alive, jnp.zeros(1, bool)])
+            .at[dst]
+            .set(can_place)[:cap],
+        )
+        # split parents shrink too (the reference deletes the parent and
+        # adds N=2 children; shrinking parent+1 child is equivalent)
+        parent_scale = jnp.where(
+            (split_mask & cloud.alive)[:, None],
+            cloud.scale - jnp.log(0.8 * 2),
+            cloud.scale,
+        )
+        cloud = cloud.replace(scale=parent_scale)
+
+        # reset ALL Adam moments after a topology change (simpler than the
+        # reference's per-slot surgery, gaussian_model.py:290-363; the loss
+        # landscape shifts anyway right after densify)
+        opt_state = self.optimizer.init(_param_dict(cloud))
+
+        return state.replace(
+            cloud=cloud,
+            opt_state=opt_state,
+            xyz_grad_accum=jnp.zeros(cap),
+            denom=jnp.zeros(cap),
+            max_radii2d=jnp.zeros(cap),
+        )
+
+    @partial(jax.jit, static_argnums=(0,))
+    def reset_opacity(self, state: TrainState) -> TrainState:
+        """Clamp opacities to <= 0.01 (reference: gaussian_model.py:226-229)."""
+        o = state.cloud.opacity
+        target = jnp.minimum(jax.nn.sigmoid(o), 0.01)
+        new_o = jnp.log(target / (1.0 - target))
+        return state.replace(cloud=state.cloud.replace(opacity=new_o))
+
+    # -- outer loop -------------------------------------------------------------------
+
+    def train(
+        self,
+        state: TrainState,
+        cameras,
+        gt_images,
+        iterations: Optional[int] = None,
+        seed: int = 0,
+        scene_extent: float = 1.0,
+        log_every: int = 0,
+    ):
+        c = self.config
+        iterations = iterations or c.iterations
+        rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        metrics = {}
+        for it in range(1, iterations + 1):
+            idx = int(rng.integers(0, len(cameras)))
+            state, metrics = self.train_step(state, cameras[idx], gt_images[idx])
+            if (
+                c.densify_from_iter <= it <= c.densify_until_iter
+                and it % c.densification_interval == 0
+            ):
+                key, sub = jax.random.split(key)
+                state = self.densify_and_prune(state, sub, scene_extent)
+            if it % c.opacity_reset_interval == 0 and it <= c.densify_until_iter:
+                state = self.reset_opacity(state)
+            if log_every and it % log_every == 0:
+                print(
+                    f"iter {it}: loss={float(metrics['loss']):.4f} "
+                    f"alive={int(np.asarray(state.cloud.alive).sum())}"
+                )
+        return state, metrics
+
+
+def train_gaussian_splatting_wrapper(
+    data_path: str,
+    model_path: str,
+    TEST_ITERATION=(7_000, 30_000),
+    SAVE_ITERATION=(7_000, 30_000),
+    iterations: int = 30_000,
+    gui: bool = False,
+    **kwargs,
+):
+    """API mirror of the reference wrapper (src/gs/gs_training.py:13-50):
+    train a GS asset from a COLMAP reconstruction directory and save PLY
+    checkpoints under <model_path>/point_cloud/iteration_<k>/."""
+    import os
+    from pathlib import Path
+
+    from pegasus_tpu.gs.ply import save_gs_ply
+    from pegasus_tpu.io import colmap as colmap_io
+    from pegasus_tpu.scene.dataset import load_colmap_scene
+
+    scene = load_colmap_scene(data_path, **kwargs)
+    config = TrainConfig(iterations=iterations)
+    trainer = GSTrainer(
+        config, width=scene["width"], height=scene["height"]
+    )
+    cloud0 = init_from_points(scene["points"], scene["colors"], config)
+    state = trainer.init_state(cloud0, spatial_lr_scale=scene["extent"])
+
+    save_at = sorted(set(list(SAVE_ITERATION) + [iterations]))
+    done = 0
+    for milestone in save_at:
+        if milestone > iterations:
+            continue
+        state, _ = trainer.train(
+            state,
+            scene["cameras"],
+            scene["images"],
+            iterations=milestone - done,
+            scene_extent=scene["extent"],
+        )
+        done = milestone
+        out = Path(model_path) / "point_cloud" / f"iteration_{milestone}"
+        alive = np.asarray(state.cloud.alive)
+        compact = jax.tree.map(lambda x: np.asarray(x)[alive], state.cloud)
+        save_gs_ply(compact, str(out / "point_cloud.ply"))
+    return state
