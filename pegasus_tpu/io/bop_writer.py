@@ -49,10 +49,7 @@ def _to_json(o):
     raise TypeError(f"not JSON serializable: {type(o)}")
 
 
-def write_png(path, image: np.ndarray) -> None:
-    import imageio.v2 as imageio
-
-    imageio.imwrite(str(path), image)
+from pegasus_tpu.io.png import write_png  # native zlib encoder, GIL-free
 
 
 # NDDS corner ordering of open3d box points (reference diagram and reorder,
