@@ -87,3 +87,71 @@ def render_frame(
         scene, cam, background=background, max_objects=max_objects, **kwargs
     )
     return decode_modalities(out, semantic_colors)
+
+
+# ---------------------------------------------------------------------------
+# Reference-signature compatibility wrappers (src/gs/render.py:14-129).
+# Each maps onto ONE fused pass over the composed scene instead of the
+# reference's separate rasterizer invocations.  `gs_environment` /
+# `gs_object_list` take GaussianModel facades or GaussianClouds.
+# ---------------------------------------------------------------------------
+
+
+def _as_cloud(x):
+    return x.cloud if hasattr(x, "cloud") else x
+
+
+def _compose(gs_environment, gs_object_list):
+    from pegasus_tpu.gs.cloud import merge
+
+    parts = [_as_cloud(gs_environment).with_object_id(0)]
+    for oid, obj in gs_object_list.items():
+        parts.append(_as_cloud(obj).with_object_id(int(oid)))
+    return merge(parts), max(gs_object_list.keys(), default=0)
+
+
+def render_rgb_and_depth(cam, gs_scene, pipe_settings=None, bg=(0, 0, 0),
+                         debug=False):
+    """(rgb [H,W,3], depth [H,W,1]) like the reference (render.py:14-33)."""
+    out = rasterize_reference(_as_cloud(gs_scene), cam, background=bg)
+    return jnp.clip(out.rgb, 0, 1), out.depth[..., None]
+
+
+def render_visib_mask(cam, gs_environment, gs_object_list, color_set,
+                      height=None, width=None, pipe_settings=None,
+                      bg=(0, 0, 0)):
+    """(per-object visible masks [H,W,K], seg color image) — env splats
+    excluded from occlusion exactly like the reference quirk
+    (render.py:68-97), but decoded from exact weights."""
+    scene, max_id = _compose(gs_environment, gs_object_list)
+    frame = render_frame(scene, cam, color_set, background=bg,
+                         max_objects=max_id + 1)
+    return frame.mask_visib, frame.seg_image
+
+
+def render_silhouette_mask(cam, gs_object_list, gs_env, width=None,
+                           height=None, color_set=None, pipe_settings=None,
+                           bg=(0, 0, 0)):
+    """Per-object amodal masks [H,W,K] (reference: render.py:36-65 — one
+    CUDA pass per object there; one fused pass here)."""
+    scene, max_id = _compose(gs_env, gs_object_list)
+    k = color_set.shape[0] if color_set is not None else max_id
+    frame = render_frame(
+        scene, cam,
+        color_set if color_set is not None else jnp.zeros((max_id, 3)),
+        background=bg, max_objects=max_id + 1,
+    )
+    return frame.mask_amodal
+
+
+def render_semanticsegmentation_mask(cam, gs_environment, gs_object_list,
+                                     color_set, height=None, width=None,
+                                     pipe_settings=None, bg=(0, 0, 0),
+                                     debug=False):
+    """uint8 semantic color image (reference: render.py:100-129)."""
+    import numpy as np
+
+    scene, max_id = _compose(gs_environment, gs_object_list)
+    frame = render_frame(scene, cam, color_set, background=bg,
+                         max_objects=max_id + 1)
+    return (np.asarray(frame.seg_image) * 255).astype("uint8")

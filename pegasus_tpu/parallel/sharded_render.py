@@ -27,7 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from pegasus_tpu.camera import Camera
 from pegasus_tpu.gs.cloud import GaussianCloud

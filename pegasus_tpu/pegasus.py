@@ -261,6 +261,16 @@ class PEGASUS:
         kwargs = {}
         if self.rasterize_fn is not None:
             kwargs["rasterize_fn"] = self.rasterize_fn
+        elif jax.default_backend() != "cpu":
+            # TPU: fused Pallas compositor; CPU falls back to the portable
+            # tiled XLA backend via render_frame's default
+            from pegasus_tpu.ops.rasterize_pallas import rasterize_pallas
+
+            kwargs["rasterize_fn"] = rasterize_pallas
+        else:
+            from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
+
+            kwargs["rasterize_fn"] = rasterize_tiled
 
         @jax.jit
         def fn(template, body_R, body_t, cam) -> FrameDataPoints:

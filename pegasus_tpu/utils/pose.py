@@ -125,3 +125,31 @@ def focal2fov(focal: float, pixels: float) -> float:
 
 def fov2focal(fov: float, pixels: float) -> float:
     return pixels / (2.0 * np.tan(fov / 2.0))
+
+
+# ---------------------------------------------------------------------------
+# graphics helpers mirrored from the reference's graphic_utils
+# (reference: src/utility/graphic_utils.py:7-112)
+# ---------------------------------------------------------------------------
+
+
+def ndc_to_screen(ndc_x: float, ndc_y: float, screen_width: int, screen_height: int):
+    return (
+        int((ndc_x + 1) * (screen_width / 2)),
+        int((1 - ndc_y) * (screen_height / 2)),
+    )
+
+
+def rotate_x(theta: float) -> np.ndarray:
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+
+def rotate_y(theta: float) -> np.ndarray:
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+
+def rotate_z(theta: float) -> np.ndarray:
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
