@@ -100,7 +100,7 @@ def rasterize_splat_sharded(
         mesh=mesh,
         in_specs=(jax.tree.map(lambda _: specs, proj),),
         out_specs=P(None),
-        check_rep=False,
+        check_vma=False,
     )(proj)
     # gathered: [n_shards, H, W, C] identical on every device
 
