@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from pegasus_tpu.io.mesh import load_mesh
 from pegasus_tpu.physics import rigid_body as rb
+from pegasus_tpu.physics.heightfield import Heightfield, bake_heightfield
 from pegasus_tpu.physics.urdf import box_inertia, parse_urdf
 from pegasus_tpu.scene.trajectory import AssetInfo, Trajectory
 from pegasus_tpu.utils import quaternion as quat
@@ -83,6 +84,7 @@ class PhysicsEngine:
 
         self.asset_list = {"environment": {}, "object": {}}
         self._bodies: List[dict] = []  # ordered by bullet id
+        self.heightfield: Heightfield | None = None
 
     # -- reference API ---------------------------------------------------------
 
@@ -123,6 +125,13 @@ class PhysicsEngine:
                 "class_name": class_name,
             }
             mass = 0.0
+            # bake the env collision mesh into a heightfield (relief-aware
+            # ground contact; physics/heightfield.py)
+            if mesh_path is not None and mesh_path.exists() and len(verts) > 3:
+                try:
+                    self.heightfield = bake_heightfield(verts, mesh.faces)
+                except Exception:
+                    self.heightfield = None
         elif obj_type == "object":
             q_xyzw = self.rng.uniform(0.0, 1.0, size=4)
             if obj_name not in self.asset_list["object"]:
@@ -214,6 +223,7 @@ class PhysicsEngine:
             n_steps=self.simulation_steps,
             dt=self.dt,
             gravity=self.gravity,
+            heightfield=self.heightfield,
         )
         n_bodies = len(self._bodies)
         pos = np.asarray(traj_states.pos)[:, :n_bodies]  # [T, B, 3]
@@ -268,7 +278,7 @@ class PhysicsEngine:
         traj, _ = rb.simulate_batch(
             params_b, states, n_steps=self.simulation_steps,
             dt=self.dt, gravity=self.gravity,
-        )
+        )  # note: batch path uses the flat-plane ground for now
         return np.asarray(traj.pos), np.asarray(
             jnp.roll(traj.rot, -1, axis=-1)
         )

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from pegasus_tpu.physics.heightfield import Heightfield, height_at, normal_at
 from pegasus_tpu.utils import quaternion as quat
 
 DEFAULT_GRAVITY = (0.0, 0.0, -50.0)
@@ -78,19 +79,24 @@ def _world_points(state: RigidBodyState, params: RigidBodyParams):
     return state.pos[:, None, :] + arms, arms
 
 
-def _plane_contacts(
+def _ground_contacts(
     state: RigidBodyState,
     params: RigidBodyParams,
+    hf: Heightfield,
     dt: float,
     baumgarte: float,
     slop: float,
 ):
-    """Impulse pass for point-vs-ground-plane contacts (one Jacobi sweep).
+    """Impulse pass for point-vs-environment contacts (one Jacobi sweep).
 
-    Returns (dv, dw) world-frame velocity corrections per body.
+    The environment is a baked heightfield (plane by default); contact
+    normal and penetration come from bilinear lookups, so the whole pass
+    stays elementwise (physics/heightfield.py).  Returns (dv, dw)
+    world-frame velocity corrections per body.
     """
     x, r = _world_points(state, params)  # [B, P, 3]
-    pen = -x[..., 2]  # penetration depth (>0 below plane)
+    ground = height_at(hf, x[..., 0], x[..., 1])
+    pen = ground - x[..., 2]  # penetration depth (>0 below the surface)
     active = (pen > 0.0) & params.point_mask & (params.inv_mass > 0)[:, None]
     n_active = jnp.maximum(jnp.sum(active, axis=1, keepdims=True), 1)
 
@@ -102,8 +108,8 @@ def _plane_contacts(
     # velocity of each contact point
     u = state.linvel[:, None, :] + jnp.cross(state.angvel[:, None, :], r)
 
-    n = jnp.array([0.0, 0.0, 1.0], jnp.float32)
-    u_n = u[..., 2]
+    n = normal_at(hf, x[..., 0], x[..., 1])  # [B, P, 3]
+    u_n = jnp.sum(u * n, axis=-1)
 
     # effective mass along the normal at each point
     rxn = jnp.cross(r, n)  # [B, P, 3]
@@ -121,7 +127,7 @@ def _plane_contacts(
     jn = jnp.maximum(jn, 0.0)
 
     # friction impulse: oppose tangential velocity, clamped by mu * jn
-    u_t = u.at[..., 2].set(0.0)
+    u_t = u - u_n[..., None] * n
     u_t_norm = jnp.linalg.norm(u_t, axis=-1)
     t_hat = u_t / jnp.maximum(u_t_norm, 1e-9)[..., None]
     rxt = jnp.cross(r, t_hat)
@@ -132,6 +138,7 @@ def _plane_contacts(
 
     # total impulse per point, split across simultaneous contacts (Jacobi)
     imp = (jn[..., None] * n - jt[..., None] * t_hat) / n_active[..., None]
+    imp = jnp.where(active[..., None], imp, 0.0)
 
     dv = params.inv_mass[:, None] * jnp.sum(imp, axis=1)
     dw = jnp.einsum(
@@ -177,14 +184,16 @@ def step(
     iters: int = 6,
     baumgarte: float = 0.2,
     slop: float = 1e-4,
+    heightfield: Heightfield | None = None,
 ) -> RigidBodyState:
     g = jnp.asarray(gravity, jnp.float32)
+    hf = heightfield if heightfield is not None else Heightfield.flat()
     dyn = ((params.inv_mass > 0) & params.body_mask).astype(jnp.float32)[:, None]
     linvel = state.linvel + dyn * g * dt
     st = state.replace(linvel=linvel)
 
     def solve(i, st):
-        dv_p, dw_p = _plane_contacts(st, params, dt, baumgarte, slop)
+        dv_p, dw_p = _ground_contacts(st, params, hf, dt, baumgarte, slop)
         dv_s = _sphere_contacts(st, params)
         return st.replace(
             linvel=st.linvel + dv_p + dv_s, angvel=st.angvel + dw_p
@@ -215,6 +224,7 @@ def simulate(
     dt: float = DEFAULT_DT,
     gravity=DEFAULT_GRAVITY,
     iters: int = 6,
+    heightfield: Heightfield | None = None,
 ) -> Tuple[RigidBodyState, RigidBodyState]:
     """Run the drop simulation, recording every step.
 
@@ -225,7 +235,8 @@ def simulate(
     """
 
     def body(st, _):
-        st = step(params, st, dt=dt, gravity=gravity, iters=iters)
+        st = step(params, st, dt=dt, gravity=gravity, iters=iters,
+                  heightfield=heightfield)
         return st, st
 
     final, traj = jax.lax.scan(body, state0, None, length=n_steps)
