@@ -155,23 +155,20 @@ def bin_splats(
     )  # [N, a_small]
 
     # -- big bucket: top big_budget splats by area emit (bbox minus core) -----
-    # Compaction rides a payload sort (per-element gathers measured ~1.7 us
-    # EACH on TPU; sorts move payload columns at vector speed).
-    cols = _pack_columns(proj)
+    # Compaction rides a small payload sort (per-element gathers measured
+    # ~1.7 us EACH on TPU; sorts move payload columns at vector speed).
     big_key_order = jnp.where(area > a_small, -area, 1)
     compact = jax.lax.sort(
-        tuple(
-            [big_key_order, tx0, ty0, w_t, h_t, rank_q]
-            + cols
-        ),
+        (big_key_order, tx0, ty0, w_t, h_t, rank_q,
+         jnp.arange(n, dtype=jnp.int32), mx, my),
         num_keys=1,
         is_stable=False,
     )
     sl = lambda x: x[:big_budget]
     b_isbig = sl(compact[0]) < 0
     b_tx0, b_ty0, b_w, b_h, b_rank = (sl(c) for c in compact[1:6])
-    b_cols = [sl(c) for c in compact[6:]]
-    b_mx, b_my = b_cols[P_MX], b_cols[P_MY]
+    b_idx = sl(compact[6])
+    b_mx, b_my = sl(compact[7]), sl(compact[8])
 
     bc_tx0, bc_ty0, bc_w, bc_h = core_window(b_tx0, b_ty0, b_w, b_h, b_mx, b_my)
     # clamp oversized bboxes around the core (same shrink rule, cap a_big)
@@ -206,26 +203,23 @@ def bin_splats(
     )  # [big_budget, a_big]
 
     keys = jnp.concatenate([small_key.reshape(-1), big_key.reshape(-1)])
-    # spread sentinel keys: ~60-70% of entries are invalid and identical
-    # max-keys otherwise, which skews the sort's internal partitioning
-    m_total_s = keys.shape[0]
-    spread = jnp.arange(m_total_s, dtype=jnp.int32) & jnp.int32(
-        (1 << depth_bits) - 1
-    )
-    keys = jnp.where(keys == sentinel, sentinel + spread, keys)
 
-    # payload columns: replicate per-splat params across their slots
-    payloads = []
-    for c, bc in zip(cols, b_cols):
-        small_p = jnp.broadcast_to(c[:, None], small_key.shape).reshape(-1)
-        big_p = jnp.broadcast_to(bc[:, None], big_key.shape).reshape(-1)
-        payloads.append(jnp.concatenate([small_p, big_p]))
+    # entry source indices (sort cost scales with LIVE payload operands:
+    # measured +~1 ms per extra payload at M=1.8M, so the sort carries ONE
+    # index payload and the 16 param fields are row-gathered afterwards —
+    # 7.8 ms total vs 14-21 ms for a 13-payload sort)
+    small_val = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], small_key.shape
+    ).reshape(-1)
+    big_val = jnp.broadcast_to(b_idx[:, None], big_key.shape).reshape(-1)
+    vals = jnp.concatenate([small_val, big_val])
+    vals = jnp.where(keys == sentinel, n, vals)  # dummy row for invalids
 
     # keys are unique among valid entries (distinct tile or distinct depth
     # rank), so an unstable sort is deterministic where it matters; only
     # sentinel-keyed garbage entries may permute.
-    out = jax.lax.sort(tuple([keys] + payloads), num_keys=1, is_stable=False)
-    sorted_key = out[0]
+    sorted_key, sorted_src = jax.lax.sort((keys, vals), num_keys=1,
+                                          is_stable=False)
     m_total = keys.shape[0]
 
     entry_tile = (sorted_key >> depth_bits).astype(jnp.int32)
@@ -233,7 +227,12 @@ def bin_splats(
     seg_start = jnp.searchsorted(entry_tile, tile_ids, side="left").astype(jnp.int32)
     seg_end = jnp.searchsorted(entry_tile, tile_ids, side="right").astype(jnp.int32)
 
-    params_t = jnp.stack(out[1:], axis=0)  # [16, M]
+    cols = _pack_columns(proj)
+    packed = jnp.stack(cols, axis=1)  # [N, 16]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, PARAM_DIM), jnp.float32)], axis=0
+    )
+    params_t = packed[sorted_src].T  # [16, M]
     params_t = jnp.pad(params_t, ((0, 0), (0, lane_pad)))
 
     return TileBins(
