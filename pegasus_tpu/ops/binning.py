@@ -99,14 +99,16 @@ def bin_splats(
 
     tile_bits = max(1, math.ceil(math.log2(n_tiles + 2)))
     depth_bits = 31 - tile_bits
-    rank_shift = max(0, math.ceil(math.log2(max(n, 2))) - depth_bits)
 
-    # depth ranks (global front-to-back order)
-    order = jnp.argsort(jnp.where(proj.valid, proj.depth, jnp.inf))
-    depth_rank = (
-        jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    # depth key: the IEEE-754 bit pattern of a POSITIVE float is monotone in
+    # its value, so the top depth_bits of the depth's bits order splats
+    # front-to-back directly — no argsort/rank-inversion pass needed
+    # (saves a 210k sort + scatter per frame).  Depths are > 0 here (the
+    # projection near-culls at 0.2; invalid splats never emit entries).
+    depth_bits_u = jnp.asarray(proj.depth, jnp.float32).view(jnp.int32)
+    rank_q = jax.lax.shift_right_logical(
+        jnp.maximum(depth_bits_u, 0), 31 - depth_bits
     )
-    rank_q = depth_rank >> rank_shift
 
     # clipped tile bboxes
     mx, my = proj.mean_x, proj.mean_y

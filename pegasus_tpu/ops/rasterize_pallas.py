@@ -168,14 +168,37 @@ def _composite_kernel(
         acc_full = dot_t(w_full, feat_t)  # [PX, 5+K]
         new_t_full = t_full * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
 
-        alphas_ne = jnp.where(is_env, 0.0, alphas)
-        log1m_ne = jnp.log1p(-alphas_ne)
-        excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne)
-        w_ne = alphas_ne * excl_ne * t_ne
-        acc_ne = dot_t(w_ne, onehot_t)  # [PX, K]
-        new_t_ne = t_ne * jnp.exp(jnp.sum(log1m_ne, axis=1, keepdims=True))
+        # object-mask channels: most tiles of a typical scene see only
+        # environment splats — skip the second compositing pass entirely
+        # for chunks with no object entries (data-dependent scf.if)
+        has_obj = jnp.any((~is_env) & entry_ok & (alphas > 0.0))
 
-        d_amodal = dot_t(log1m, onehot_t)
+        def with_objects(_):
+            alphas_ne = jnp.where(is_env, 0.0, alphas)
+            log1m_ne = jnp.log1p(-alphas_ne)
+            excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne)
+            w_ne = alphas_ne * excl_ne * t_ne
+            acc_ne = dot_t(w_ne, onehot_t)  # [PX, K]
+            new_t_ne = t_ne * jnp.exp(
+                jnp.sum(log1m_ne, axis=1, keepdims=True)
+            )
+            d_amodal = dot_t(log1m, onehot_t)
+            return acc_ne, new_t_ne, d_amodal
+
+        def env_only(_):
+            # channel 0 (environment) of the amodal accumulator still needs
+            # this chunk's env contributions; one narrow dot covers it
+            env_col = p[binning.P_ENV : binning.P_ENV + 1, :]
+            d_env = dot_t(log1m, env_col)  # [PX, 1]
+            return (
+                jnp.zeros((px_n, k), jnp.float32),
+                t_ne,
+                jnp.pad(d_env, ((0, 0), (0, k - 1))),
+            )
+
+        acc_ne, new_t_ne, d_amodal = jax.lax.cond(
+            has_obj, with_objects, env_only, None
+        )
 
         acc = acc + jnp.concatenate([acc_full, acc_ne], axis=1)
         return (new_t_full, new_t_ne, acc, amodal_log + d_amodal)
