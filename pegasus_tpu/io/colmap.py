@@ -176,3 +176,94 @@ def colmap_intrinsics(cam: ColmapCamera) -> Tuple[float, float, float, float]:
         fx, fy, cx, cy = cam.params[:4]
         return float(fx), float(fy), float(cx), float(cy)
     raise ValueError(f"unsupported camera model {cam.model}")
+
+
+# ---------------------------------------------------------------------------
+# text-format model I/O (the reference also imports the text writers,
+# src/gs/pegasus_setup.py:19-21)
+# ---------------------------------------------------------------------------
+
+
+def write_cameras_text(cams: Dict[int, ColmapCamera], path) -> None:
+    with open(path, "w") as f:
+        f.write("# Camera list with one line of data per camera:\n")
+        f.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        for cam in cams.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(f"{cam.id} {cam.model} {cam.width} {cam.height} {params}\n")
+
+
+def read_cameras_text(path) -> Dict[int, ColmapCamera]:
+    cams: Dict[int, ColmapCamera] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            cams[int(parts[0])] = ColmapCamera(
+                int(parts[0]), parts[1], int(parts[2]), int(parts[3]),
+                np.array([float(p) for p in parts[4:]]),
+            )
+    return cams
+
+
+def write_images_text(images: Dict[int, ColmapImage], path) -> None:
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image:\n")
+        f.write("#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n")
+        f.write("#   POINTS2D[] as (X, Y, POINT3D_ID)\n")
+        for im in images.values():
+            q = " ".join(repr(float(v)) for v in im.qvec)
+            t = " ".join(repr(float(v)) for v in im.tvec)
+            f.write(f"{im.id} {q} {t} {im.camera_id} {im.name}\n")
+            pts = " ".join(
+                f"{x} {y} {pid}"
+                for (x, y), pid in zip(im.xys, im.point3D_ids)
+            )
+            f.write(pts + "\n")
+
+
+def read_images_text(path) -> Dict[int, ColmapImage]:
+    images: Dict[int, ColmapImage] = {}
+    with open(path) as f:
+        lines = [
+            ln.strip() for ln in f
+            if ln.strip() and not ln.strip().startswith("#")
+        ]
+    for i in range(0, len(lines), 2):
+        parts = lines[i].split()
+        image_id = int(parts[0])
+        qvec = np.array([float(v) for v in parts[1:5]])
+        tvec = np.array([float(v) for v in parts[5:8]])
+        camera_id = int(parts[8])
+        name = parts[9]
+        xys = np.zeros((0, 2))
+        p3d = np.zeros((0,), np.int64)
+        if i + 1 < len(lines) and lines[i + 1]:
+            vals = lines[i + 1].split()
+            if len(vals) >= 3:
+                arr = np.array(vals, dtype=np.float64).reshape(-1, 3)
+                xys = arr[:, :2]
+                p3d = arr[:, 2].astype(np.int64)
+        images[image_id] = ColmapImage(
+            image_id, qvec, tvec, camera_id, name, xys, p3d
+        )
+    return images
+
+
+def write_points3D_text(points: Dict[int, "ColmapPoint3D"], path) -> None:
+    with open(path, "w") as f:
+        f.write("# 3D point list with one line of data per point:\n")
+        f.write("#   POINT3D_ID, X, Y, Z, R, G, B, ERROR, TRACK[]\n")
+        for p in points.values():
+            xyz = " ".join(repr(float(v)) for v in p.xyz)
+            rgb = " ".join(str(int(v)) for v in p.rgb)
+            track = " ".join(
+                f"{img} {idx}" for img, idx in zip(p.image_ids, p.point2D_idxs)
+            )
+            f.write(f"{p.id} {xyz} {rgb} {p.error} {track}\n")
+
+
+# alias matching the reference's import spelling (pegasus_setup.py:19-21)
+write_points3d_text = write_points3D_text
