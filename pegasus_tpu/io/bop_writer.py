@@ -216,6 +216,7 @@ class BOPDatasetWriter:
         mask_amodal: np.ndarray | None = None,  # [H,W,K] bool
         mask_visib: np.ndarray | None = None,  # [H,W,K] bool
         sem_mask: np.ndarray | None = None,  # [H,W,3] uint8
+        depth_mm: np.ndarray | None = None,  # [H,W] uint16 (pre-encoded)
         asynchronous: bool = True,
     ) -> None:
         """Write one frame's images.  Depth goes out as uint16 millimeters
@@ -225,9 +226,11 @@ class BOPDatasetWriter:
         def job():
             if rgb is not None:
                 write_png(self.rgb_path / f"{frame_id:06d}.png", rgb)
-            if depth_m is not None:
-                depth_mm = np.clip(depth_m * 1000.0, 0, 65535).astype(np.uint16)
+            if depth_mm is not None:
                 write_png(self.depth_path / f"{frame_id:06d}.png", depth_mm)
+            elif depth_m is not None:
+                d16 = np.clip(depth_m * 1000.0, 0, 65535).astype(np.uint16)
+                write_png(self.depth_path / f"{frame_id:06d}.png", d16)
             if mask_amodal is not None:
                 for k in range(mask_amodal.shape[-1]):
                     write_png(

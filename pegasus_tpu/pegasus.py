@@ -34,7 +34,7 @@ from pegasus_tpu.gs.ply import load_gs_ply
 from pegasus_tpu.io import colmap as colmap_io
 from pegasus_tpu.io.bop_writer import BOPDatasetWriter, write_models
 from pegasus_tpu.io.mesh import load_mesh
-from pegasus_tpu.ops.render import FrameDataPoints, render_frame
+from pegasus_tpu.ops.render import FrameDataPoints, encode_frame, render_frame
 from pegasus_tpu.physics.engine import PhysicsEngine
 from pegasus_tpu.scene.camera_trajectory import create_camera_trajectory
 from pegasus_tpu.scene.composition import SceneTemplate, pose_scene
@@ -273,9 +273,12 @@ class PEGASUS:
             kwargs["rasterize_fn"] = rasterize_tiled
 
         @jax.jit
-        def fn(template, body_R, body_t, cam) -> FrameDataPoints:
+        def fn(template, body_R, body_t, cam):
             scene = pose_scene(template, body_R, body_t)
-            return render_frame(scene, cam, colors, background=background, **kwargs)
+            frame = render_frame(scene, cam, colors, background=background, **kwargs)
+            # encode on-device: the frame loop is readback-bound, not
+            # render-bound (uint8/uint16/bool transfer ~4x less than f32)
+            return encode_frame(frame)
 
         return fn
 
@@ -292,27 +295,40 @@ class PEGASUS:
         writer = self.pegasus_dataset
         n_frames = len(self.viewport_cam_list)
 
-        for i in tqdm.tqdm(range(n_frames), disable=self.QUIET):
-            cam = self.viewport_cam_list[i]
-            step = self._initial_step + (i if self.mode == "dynamic" else 0)
-            body_R, body_t = self._body_poses_at(step)
-            frame = self._frame_fn(self.template, body_R, body_t, cam)
+        # software pipeline: dispatch frame i+1 (async) before reading
+        # frame i back — host readback overlaps device render
+        pending = None
+        for i in tqdm.tqdm(range(n_frames + 1), disable=self.QUIET):
+            if i < n_frames:
+                cam = self.viewport_cam_list[i]
+                step = self._initial_step + (i if self.mode == "dynamic" else 0)
+                body_R, body_t = self._body_poses_at(step)
+                dispatched = (
+                    self._frame_fn(self.template, body_R, body_t, cam),
+                    i, cam, body_R, body_t,
+                )
+            else:
+                dispatched = None
+            if pending is None:
+                pending = dispatched
+                continue
+            frame, i, cam, body_R, body_t = pending
+            pending = dispatched
 
-            rgb_u8 = np.asarray(
-                jnp.clip(frame.rgb * 255.0, 0, 255).astype(jnp.uint8)
-            )
-            depth = np.asarray(frame.depth)
+            rgb_u8 = np.asarray(frame.rgb_u8)
+            depth = np.asarray(frame.depth_m)
+            depth_mm = np.asarray(frame.depth_mm_u16)
             mask_visib = np.asarray(frame.mask_visib)
             mask_amodal = np.asarray(frame.mask_amodal)
-            seg_img = np.asarray(frame.seg_image)
-            sem_u8 = (seg_img * 255).astype(np.uint8)
+            sem_u8 = np.asarray(frame.sem_u8)
+            seg_img = sem_u8.astype(np.float32) / 255.0
 
             writer.add_scene_camera(i)
             if save_bop:
                 writer.write_training_data(
                     frame_id=i,
                     rgb=rgb_u8 if "rgb" in data_points else None,
-                    depth_m=depth if ("depth" in data_points or "rgb" in data_points) else None,
+                    depth_mm=depth_mm if ("depth" in data_points or "rgb" in data_points) else None,
                     mask_amodal=mask_amodal if "seg_sil" in data_points else None,
                     mask_visib=mask_visib if "seg_vis" in data_points else None,
                     sem_mask=sem_u8 if "sem_seg" in data_points else None,

@@ -203,6 +203,8 @@ def build_synthetic_dataset(
     object_names=("cup_noodles_04", "cup_noodles_07"),
     n_colmap_images: int = 16,
     rng=None,
+    env_splats: int = 2048,
+    obj_splats: int = 768,
 ):
     """Materialize a minimal Ramen/PEGASET-layout dataset on disk:
 
@@ -226,7 +228,7 @@ def build_synthetic_dataset(
 
     # environment: plane cloud + colmap hemisphere
     env_dir = root / "environment" / env_name
-    env_cloud = make_plane_cloud(rng, n=2048, size=2.0)
+    env_cloud = make_plane_cloud(rng, n=env_splats, size=2.0)
     save_gs_ply(
         env_cloud,
         env_dir / "gs" / "point_cloud" / "iteration_30000" / "point_cloud.ply",
@@ -259,7 +261,7 @@ def build_synthetic_dataset(
     for i, name in enumerate(object_names):
         half = (0.04, 0.04, 0.06)
         cloud = make_box_cloud(
-            rng, n=768, half_extents=half, center=(0, 0, 0), rgb=palette[i % 4],
+            rng, n=obj_splats, half_extents=half, center=(0, 0, 0), rgb=palette[i % 4],
             object_id=0,
         )
         save_gs_ply(

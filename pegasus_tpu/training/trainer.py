@@ -403,6 +403,7 @@ def train_gaussian_splatting_wrapper(
     SAVE_ITERATION=(7_000, 30_000),
     iterations: int = 30_000,
     gui: bool = False,
+    capacity: int | None = None,
     **kwargs,
 ):
     """API mirror of the reference wrapper (src/gs/gs_training.py:13-50):
@@ -416,7 +417,10 @@ def train_gaussian_splatting_wrapper(
     from pegasus_tpu.scene.dataset import load_colmap_scene
 
     scene = load_colmap_scene(data_path, **kwargs)
-    config = TrainConfig(iterations=iterations)
+    if capacity is None:
+        # headroom for densification over the SfM seed points
+        capacity = max(8192, 4 * len(scene["points"]))
+    config = TrainConfig(iterations=iterations, capacity=capacity)
     trainer = GSTrainer(
         config, width=scene["width"], height=scene["height"]
     )
