@@ -186,3 +186,53 @@ def encode_frame(frame: FrameDataPoints) -> FrameEncoded:
         ),
         depth_m=frame.depth,
     )
+
+
+def pack_frame_bytes(enc: FrameEncoded) -> jnp.ndarray:
+    """Pack an encoded frame into ONE uint8 tensor [H, W, 8 + 2K].
+
+    High-latency device->host links (tunneled TPUs; even PCIe under load)
+    charge per TRANSFER, not just per byte — fetching six arrays costs six
+    round trips.  Channel layout:
+      0:3 rgb, 3:6 sem, 6:8 depth_mm (lo, hi bytes), 8:8+K visib,
+      8+K:8+2K amodal.
+    """
+    d = enc.depth_mm_u16
+    lo = (d & 0xFF).astype(jnp.uint8)
+    hi = (d >> 8).astype(jnp.uint8)
+    return jnp.concatenate(
+        [
+            enc.rgb_u8,
+            enc.sem_u8,
+            lo[..., None],
+            hi[..., None],
+            enc.mask_visib.astype(jnp.uint8),
+            enc.mask_amodal.astype(jnp.uint8),
+        ],
+        axis=-1,
+    )
+
+
+def unpack_frame_bytes(buf, k: int):
+    """Inverse of pack_frame_bytes on a host numpy array.
+
+    Returns dict(rgb_u8, sem_u8, depth_mm, depth_m, mask_visib, mask_amodal).
+    """
+    import numpy as np
+
+    buf = np.asarray(buf)
+    rgb = buf[..., 0:3]
+    sem = buf[..., 3:6]
+    depth_mm = buf[..., 6].astype(np.uint16) | (
+        buf[..., 7].astype(np.uint16) << 8
+    )
+    visib = buf[..., 8 : 8 + k].astype(bool)
+    amodal = buf[..., 8 + k : 8 + 2 * k].astype(bool)
+    return {
+        "rgb_u8": rgb,
+        "sem_u8": sem,
+        "depth_mm": depth_mm,
+        "depth_m": depth_mm.astype(np.float32) / 1000.0,
+        "mask_visib": visib,
+        "mask_amodal": amodal,
+    }

@@ -34,7 +34,9 @@ from pegasus_tpu.gs.ply import load_gs_ply
 from pegasus_tpu.io import colmap as colmap_io
 from pegasus_tpu.io.bop_writer import BOPDatasetWriter, write_models
 from pegasus_tpu.io.mesh import load_mesh
-from pegasus_tpu.ops.render import FrameDataPoints, encode_frame, render_frame
+from pegasus_tpu.ops.render import (FrameDataPoints, encode_frame,
+                                    pack_frame_bytes, render_frame,
+                                    unpack_frame_bytes)
 from pegasus_tpu.physics.engine import PhysicsEngine
 from pegasus_tpu.scene.camera_trajectory import create_camera_trajectory
 from pegasus_tpu.scene.composition import SceneTemplate, pose_scene
@@ -276,9 +278,9 @@ class PEGASUS:
         def fn(template, body_R, body_t, cam):
             scene = pose_scene(template, body_R, body_t)
             frame = render_frame(scene, cam, colors, background=background, **kwargs)
-            # encode on-device: the frame loop is readback-bound, not
-            # render-bound (uint8/uint16/bool transfer ~4x less than f32)
-            return encode_frame(frame)
+            # encode + pack on-device: the frame loop is readback-bound,
+            # not render-bound — one uint8 tensor = one host round trip
+            return pack_frame_bytes(encode_frame(frame))
 
         return fn
 
@@ -294,33 +296,40 @@ class PEGASUS:
 
         writer = self.pegasus_dataset
         n_frames = len(self.viewport_cam_list)
+        n_objects = len(self.semantic_colors)
 
-        # software pipeline: dispatch frame i+1 (async) before reading
-        # frame i back — host readback overlaps device render
-        pending = None
-        for i in tqdm.tqdm(range(n_frames + 1), disable=self.QUIET):
-            if i < n_frames:
-                cam = self.viewport_cam_list[i]
-                step = self._initial_step + (i if self.mode == "dynamic" else 0)
-                body_R, body_t = self._body_poses_at(step)
-                dispatched = (
-                    self._frame_fn(self.template, body_R, body_t, cam),
-                    i, cam, body_R, body_t,
-                )
-            else:
-                dispatched = None
-            if pending is None:
-                pending = dispatched
-                continue
-            frame, i, cam, body_R, body_t = pending
-            pending = dispatched
+        # software pipeline against HIGH-LATENCY readback links: dispatch
+        # renders ahead, fetch packed frames on reader threads (each fetch
+        # is one round trip; tunneled links charge ~50 ms latency each)
+        from concurrent.futures import ThreadPoolExecutor
 
-            rgb_u8 = np.asarray(frame.rgb_u8)
-            depth = np.asarray(frame.depth_m)
-            depth_mm = np.asarray(frame.depth_mm_u16)
-            mask_visib = np.asarray(frame.mask_visib)
-            mask_amodal = np.asarray(frame.mask_amodal)
-            sem_u8 = np.asarray(frame.sem_u8)
+        readers = ThreadPoolExecutor(max_workers=3)
+        DEPTH = 4  # frames in flight
+
+        def dispatch(i):
+            cam = self.viewport_cam_list[i]
+            step = self._initial_step + (i if self.mode == "dynamic" else 0)
+            body_R, body_t = self._body_poses_at(step)
+            packed = self._frame_fn(self.template, body_R, body_t, cam)
+            fut = readers.submit(np.asarray, packed)
+            return (fut, i, cam, body_R, body_t)
+
+        inflight = [dispatch(i) for i in range(min(DEPTH, n_frames))]
+        next_i = len(inflight)
+
+        for _ in tqdm.tqdm(range(n_frames), disable=self.QUIET):
+            fut, i, cam, body_R, body_t = inflight.pop(0)
+            if next_i < n_frames:
+                inflight.append(dispatch(next_i))
+                next_i += 1
+            data = unpack_frame_bytes(fut.result(), n_objects)
+
+            rgb_u8 = data["rgb_u8"]
+            depth = data["depth_m"]
+            depth_mm = data["depth_mm"]
+            mask_visib = data["mask_visib"]
+            mask_amodal = data["mask_amodal"]
+            sem_u8 = data["sem_u8"]
             seg_img = sem_u8.astype(np.float32) / 255.0
 
             writer.add_scene_camera(i)
@@ -369,6 +378,7 @@ class PEGASUS:
                 self.video.write_frame(
                     rgb=rgb_u8, depth=depth, seg=seg_img, center_image=center_img
                 )
+        readers.shutdown(wait=True)
 
     def save2bop(self) -> None:
         """Finalize scene annotations (reference: pegasus.py:392-396)."""
