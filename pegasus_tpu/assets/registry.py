@@ -39,6 +39,12 @@ class Asset:
     DATASET_TYPE: str = "ycb"
     ARUCO_SIZE: float = 0.15  # meters
     SCALE: object = True  # True=aruco, float=constant scale
+    PLANE_NORMAL: tuple = (0.0, 0.0, 1.0)  # align2plane target normal
+    MATCHING: dict | None = None  # mapper settings for down-image registration
+    CALIBRATION_OBJECT: object = None  # calibration-board asset/class ref
+    REFERENCE_DATASET_PATH: str | None = None
+    camera_model: str = "OPENCV"
+    resize: object = False  # False | True (0.5) | float factor
     dataset_path: str = "."
     START_POSITION_PYBULLET: tuple = (0.0, 0.0, 0.0)
     # environments: drop-region half-extents for define_start_pos

@@ -188,26 +188,39 @@ def encode_frame(frame: FrameDataPoints) -> FrameEncoded:
     )
 
 
-def pack_frame_bytes(enc: FrameEncoded) -> jnp.ndarray:
-    """Pack an encoded frame into ONE uint8 tensor [H, W, 8 + 2K].
+def _packbits(masks: jnp.ndarray) -> jnp.ndarray:
+    """[..., M] bool -> [..., ceil(M/8)] uint8 (little-endian bit order)."""
+    m = masks.shape[-1]
+    pad = (-m) % 8
+    x = jnp.pad(masks.astype(jnp.uint8), [(0, 0)] * (masks.ndim - 1) + [(0, pad)])
+    x = x.reshape(*x.shape[:-1], -1, 8)
+    weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+    return jnp.sum(x * weights, axis=-1).astype(jnp.uint8)
 
-    High-latency device->host links (tunneled TPUs; even PCIe under load)
-    charge per TRANSFER, not just per byte — fetching six arrays costs six
-    round trips.  Channel layout:
-      0:3 rgb, 3:6 sem, 6:8 depth_mm (lo, hi bytes), 8:8+K visib,
-      8+K:8+2K amodal.
+
+def pack_frame_bytes(enc: FrameEncoded) -> jnp.ndarray:
+    """Pack an encoded frame into ONE uint8 tensor [H, W, 8 + ceil(2K/8)].
+
+    High-latency / low-bandwidth device->host links (tunneled TPUs; even
+    PCIe under load) charge per transfer AND per byte: everything rides one
+    tensor, and the 2K boolean mask planes are bit-packed (they are 1-bit
+    PNGs on disk anyway).  Channel layout:
+      0:3 rgb, 3:6 sem, 6:8 depth_mm (lo, hi bytes),
+      8: bit-packed [visib_0..K-1, amodal_0..K-1].
     """
     d = enc.depth_mm_u16
     lo = (d & 0xFF).astype(jnp.uint8)
     hi = (d >> 8).astype(jnp.uint8)
+    bits = _packbits(
+        jnp.concatenate([enc.mask_visib, enc.mask_amodal], axis=-1)
+    )
     return jnp.concatenate(
         [
             enc.rgb_u8,
             enc.sem_u8,
             lo[..., None],
             hi[..., None],
-            enc.mask_visib.astype(jnp.uint8),
-            enc.mask_amodal.astype(jnp.uint8),
+            bits,
         ],
         axis=-1,
     )
@@ -226,8 +239,10 @@ def unpack_frame_bytes(buf, k: int):
     depth_mm = buf[..., 6].astype(np.uint16) | (
         buf[..., 7].astype(np.uint16) << 8
     )
-    visib = buf[..., 8 : 8 + k].astype(bool)
-    amodal = buf[..., 8 + k : 8 + 2 * k].astype(bool)
+    packed = buf[..., 8:]
+    bits = np.unpackbits(packed, axis=-1, bitorder="little")[..., : 2 * k]
+    visib = bits[..., :k].astype(bool)
+    amodal = bits[..., k : 2 * k].astype(bool)
     return {
         "rgb_u8": rgb,
         "sem_u8": sem,
