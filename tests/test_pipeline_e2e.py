@@ -186,3 +186,40 @@ def test_gt_info_and_ndds_conversion(synthetic_root, tmp_path):
     assert (ndds_out / "_camera_settings.json").exists()
     meta = json.loads((ndds_out / "000000.json").read_text())
     assert "objects" in meta and len(meta["objects"]) == 2
+
+
+def test_dynamic_gt_tracks_motion(synthetic_root, tmp_path):
+    """Dynamic-mode scene_gt must record per-frame poses (the reference
+    freezes the t=0 pose for every dynamic frame — deliberate fix,
+    see pegasus_tpu/pegasus.py docstring)."""
+    env, objs = _assets(synthetic_root)
+    out = tmp_path / "out"
+    pegasus = PEGASUS(
+        dataset_path=str(synthetic_root),
+        env_dataset_path=str(synthetic_root),
+        urdf_asset_folder=str(synthetic_root / "urdf"),
+        gs_env_list=[env],
+        gs_object_list=objs,
+        render_height=40,
+        render_width=48,
+        num_cameras=1,
+        simulation_steps=80,
+        num_camera_interpolation_steps=4,
+        mode="dynamic",
+        camera_trajectory_mode="sequence",
+        dataset_base_path=str(out),
+        seed=9,
+    )
+    name = "dyn_gt"
+    pegasus.init_bullet([env], objs, name, 1, 1, 1, random=False)
+    pegasus.init(name, 1)
+    pegasus.init_start_position()
+    pegasus.generate_dataset(["rgb", "depth"], save_bop=True, save_video=False)
+    pegasus.save2bop()
+
+    with open(out / name / "train" / "000001" / "scene_gt.json") as f:
+        gt = json.load(f)
+    t0 = np.asarray(gt["0"][0]["T_m2w"]).reshape(4, 4)[:3, 3]
+    t3 = np.asarray(gt["3"][0]["T_m2w"]).reshape(4, 4)[:3, 3]
+    # object is falling during the first timesteps -> pose must change
+    assert np.linalg.norm(t3 - t0) > 1e-4
