@@ -66,3 +66,22 @@ def test_tiled_matches_golden_seg_channels(rendered):
         assert psnr(a, b) > 40.0, name
         disagree = np.mean((a >= 0.9) != (b >= 0.9))
         assert disagree < 2e-3, (name, disagree)
+
+
+def test_tiled_hd_resolution_shapes(rng):
+    """1280x720 (BASELINE eval config #3 resolution): tile-bit budget and
+    cropping must hold at 80x45 tiles."""
+    from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
+
+    env = make_plane_cloud(rng, n=400, size=2.0)
+    b = make_box_cloud(rng, n=200, center=(0, 0, 0.08), object_id=1)
+    scene = merge([env, b])
+    cam = Camera.look_at(
+        eye=(0.7, 0.5, 0.8), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(60), fovy=np.deg2rad(40), width=1280, height=720,
+    )
+    out = rasterize_tiled(scene, cam, max_objects=2, max_per_tile=256)
+    assert out.rgb.shape == (720, 1280, 3)
+    assert out.amodal.shape == (720, 1280, 2)
+    a = np.asarray(out.rgb)
+    assert np.isfinite(a).all() and a.max() > 0.05
