@@ -177,3 +177,17 @@ def test_ssao_and_normals(rng):
         apply_ssao(jnp.ones((32, 32, 3)), jnp.asarray(depth))
     )
     assert rgb.max() <= 1.0
+
+
+def test_turntable_renders_mp4(tmp_path, rng):
+    from pegasus_tpu.viewer import orbit_cameras, render_turntable
+
+    cams = orbit_cameras(n_views=4, width=32, height=32)
+    assert len(cams) == 4
+    cloud = make_box_cloud(rng, n=128)
+    out = render_turntable(
+        cloud, str(tmp_path / "turn.mp4"), n_views=4, width=32, height=32,
+    )
+    import os
+
+    assert os.path.getsize(out) > 1000
