@@ -191,3 +191,47 @@ def test_turntable_renders_mp4(tmp_path, rng):
     import os
 
     assert os.path.getsize(out) > 1000
+
+
+def test_live_viewer_serves_frames(rng):
+    import urllib.request
+
+    from pegasus_tpu.viewer import serve_viewer
+
+    cloud = make_box_cloud(rng, n=64)
+    server = serve_viewer(
+        cloud, host="127.0.0.1", port=0, width=32, height=32, blocking=False
+    )
+    try:
+        port = server.server_address[1]
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ).read()
+        assert b"pegasus-tpu viewer" in html
+        jpg = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame?az=30&el=20&r=0.8", timeout=60
+        ).read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+    finally:
+        server.shutdown()
+
+
+def test_engine_simulate_variants(tmp_path, rng):
+    from pegasus_tpu.physics.engine import PhysicsEngine
+    from pegasus_tpu.testing import build_synthetic_dataset
+    from pegasus_tpu.assets.registry import Asset
+
+    root = tmp_path / "ds"
+    build_synthetic_dataset(root, object_names=("cup_noodles_04",))
+    env = Asset(OBJECT_NAME="asphalt", ID=1003, TYPE="environment",
+                dataset_path=str(root))
+    obj = Asset(OBJECT_NAME="cup_noodles_04", ID=104, dataset_path=str(root))
+    eng = PhysicsEngine(str(root / "urdf"), str(tmp_path / "t.json"),
+                        simulation_steps=40, seed=0)
+    eng.add_object(env, start_pos=(0, 0, 0))
+    eng.add_object(obj, start_pos=(0, 0, 0.2))
+    pos, rot = eng.simulate_variants(4, seed=1)
+    assert pos.shape[0] == 4 and pos.shape[1] == 40
+    assert np.isfinite(pos).all()
+    # variants start from different random orientations
+    assert np.abs(rot[0, 0, 1] - rot[1, 0, 1]).max() > 1e-3
