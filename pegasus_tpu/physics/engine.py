@@ -44,17 +44,31 @@ def _farthest_point_downsample(pts: np.ndarray, k: int) -> np.ndarray:
     return pts[chosen]
 
 
-def collision_points_from_mesh(verts: np.ndarray, k: int = MAX_POINTS) -> np.ndarray:
-    """Hull vertices, farthest-point downsampled to k (collision proxy)."""
+def collision_points_from_mesh(verts: np.ndarray, k: int = MAX_POINTS,
+                               faces: np.ndarray | None = None) -> np.ndarray:
+    """Contact-point cloud: hull vertices PLUS surface samples, FPS to k.
+
+    Corners alone cannot support face-face contact (aligned stacked boxes:
+    every corner sits on the other box's lateral boundary, so the
+    min-penetration normals point sideways and cancel); surface samples in
+    face interiors provide the vertical support points."""
     from scipy.spatial import ConvexHull
 
     pts = np.asarray(verts, np.float64)
+    hull_pts = pts
     if len(pts) > 16:
         try:
-            pts = pts[ConvexHull(pts).vertices]
+            hull_pts = pts[ConvexHull(pts).vertices]
         except Exception:
-            pass
-    return _farthest_point_downsample(pts, k)
+            hull_pts = pts
+    extra = []
+    if faces is not None and len(faces):
+        from pegasus_tpu.io.mesh import TriMesh
+
+        mesh = TriMesh(pts, np.asarray(faces, np.int32))
+        extra.append(mesh.sample_points(4 * k, rng=np.random.default_rng(0)))
+    cand = np.concatenate([hull_pts] + extra, axis=0) if extra else hull_pts
+    return _farthest_point_downsample(cand, k)
 
 
 class PhysicsEngine:
@@ -147,7 +161,10 @@ class PhysicsEngine:
         else:
             raise ValueError(f"Wrong entity - {obj_type}")
 
-        pts = collision_points_from_mesh(verts)
+        pts = collision_points_from_mesh(
+            verts,
+            faces=mesh.faces if (mesh_path is not None and mesh_path.exists()) else None,
+        )
         lo, hi = verts.min(axis=0), verts.max(axis=0)
         self._bodies.append(
             {
@@ -156,6 +173,7 @@ class PhysicsEngine:
                 "mass": mass,
                 "points": pts,
                 "inertia": box_inertia(max(mass, 1e-6), hi - lo),
+                "half_extents": (hi - lo) / 2.0,
                 "radius": float(np.linalg.norm(pts, axis=1).max()),
                 "start_pos": np.asarray(start_pos, np.float64),
                 "start_q_xyzw": q_xyzw,
@@ -174,6 +192,7 @@ class PhysicsEngine:
         points = np.zeros((MAX_BODIES, MAX_POINTS, 3), np.float32)
         point_mask = np.zeros((MAX_BODIES, MAX_POINTS), bool)
         radius = np.zeros(MAX_BODIES, np.float32)
+        half_extents = np.full((MAX_BODIES, 3), 1e-3, np.float32)
         friction = np.full(MAX_BODIES, 0.5, np.float32)
         restitution = np.zeros(MAX_BODIES, np.float32)
         body_mask = np.zeros(MAX_BODIES, bool)
@@ -197,6 +216,7 @@ class PhysicsEngine:
             points[i, :n] = body["points"]
             point_mask[i, :n] = True
             radius[i] = body["radius"]
+            half_extents[i] = body["half_extents"]
 
         params = rb.RigidBodyParams(
             inv_mass=jnp.asarray(inv_mass),
@@ -207,6 +227,7 @@ class PhysicsEngine:
             friction=jnp.asarray(friction),
             restitution=jnp.asarray(restitution),
             body_mask=jnp.asarray(body_mask),
+            half_extents=jnp.asarray(half_extents),
         )
         state0 = rb.RigidBodyState.rest(pos, rot)
         return params, state0

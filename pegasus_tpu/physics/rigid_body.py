@@ -66,10 +66,23 @@ class RigidBodyParams:
     inv_inertia: jnp.ndarray  # [B, 3] inverse principal inertia (body frame)
     points: jnp.ndarray  # [B, P, 3] collision points in body frame
     point_mask: jnp.ndarray  # [B, P] bool
-    radius: jnp.ndarray  # [B] bounding-sphere radius (object-object)
+    radius: jnp.ndarray  # [B] bounding-sphere radius (pair broad phase)
     friction: jnp.ndarray  # [B]
     restitution: jnp.ndarray  # [B]
     body_mask: jnp.ndarray  # [B] bool: body exists (padding support)
+    half_extents: jnp.ndarray = None  # [B, 3] box collision proxy (pairs)
+
+    def __post_init__(self):
+        if self.half_extents is None:
+            # fall back to a cube from the bounding sphere
+            object.__setattr__(
+                self,
+                "half_extents",
+                jnp.broadcast_to(
+                    (self.radius / jnp.sqrt(3.0))[:, None],
+                    self.radius.shape + (3,),
+                ),
+            )
 
 
 def _world_points(state: RigidBodyState, params: RigidBodyParams):
@@ -147,32 +160,114 @@ def _ground_contacts(
     return dv, dw
 
 
-def _sphere_contacts(state: RigidBodyState, params: RigidBodyParams):
-    """Object-object separation via bounding-sphere impulses (round-1
-    approximation; keeps dropped objects from interpenetrating)."""
+def _pair_contacts(
+    state: RigidBodyState,
+    params: RigidBodyParams,
+    dt: float,
+    baumgarte: float,
+    margin: float = 4e-3,
+):
+    """Object-object contacts: body i's collision points vs body j's box.
+
+    Points-in-OBB narrow phase (bounding spheres gate the pairs): each of
+    i's contact points is tested inside j's oriented box; penetration is
+    the minimum face distance and the contact normal is that face's world
+    axis.  Impulses (normal + Baumgarte bias) apply equal-and-opposite to
+    both bodies with full angular terms — boxes can rest ON each other,
+    which the round-1 sphere proxy could not express.
+
+    Returns (dv [B,3], dw [B,3]).
+    """
     b = state.pos.shape[0]
-    diff = state.pos[:, None, :] - state.pos[None, :, :]  # [B, B, 3]
+    x, r_arm = _world_points(state, params)  # [B, P, 3] of OWNER i
+    R = quat.quat_to_rotmat(state.rot)  # [B, 3, 3]
+    inv_I_world = jnp.einsum("bij,bj,bkj->bik", R, params.inv_inertia, R)
+
+    # broad phase
+    diff = state.pos[:, None, :] - state.pos[None, :, :]
     dist = jnp.linalg.norm(diff + jnp.eye(b)[..., None], axis=-1)
     rsum = params.radius[:, None] + params.radius[None, :]
     dynamic = (params.inv_mass > 0) & params.body_mask
-    pair = (
-        dynamic[:, None]
-        & dynamic[None, :]
-        & ~jnp.eye(b, dtype=bool)
+    pair_ok = (
+        dynamic[:, None] & dynamic[None, :] & ~jnp.eye(b, dtype=bool)
         & (dist < rsum)
+    )  # [B(i), B(j)]
+
+    # i's points in j's local frame: [B_i, B_j, P, 3]
+    rel = x[:, None, :, :] - state.pos[None, :, None, :]
+    p_local = jnp.einsum("jab,ijpa->ijpb", R, rel)  # R_j^T @ rel
+    # collision margin (Bullet keeps a similar shell): contacts activate
+    # inside an inflated box so exactly-touching faces (e.g. aligned
+    # stacked boxes whose corners ride the other box's boundary) resolve
+    he = params.half_extents[None, :, None, :] + margin  # [1, B_j, 1, 3]
+    face_pen = he - jnp.abs(p_local)  # [B_i, B_j, P, 3]
+    inside = jnp.all(face_pen > 0.0, axis=-1) & pair_ok[:, :, None]
+    inside = inside & params.point_mask[:, None, :]
+    depth = jnp.min(face_pen, axis=-1)  # [B_i, B_j, P] (incl. margin shell)
+    axis = jnp.argmin(face_pen, axis=-1)
+    sign = jnp.sign(
+        jnp.take_along_axis(p_local, axis[..., None], axis=-1)[..., 0]
     )
-    n_hat = diff / jnp.maximum(dist, 1e-9)[..., None]
-    relv = state.linvel[:, None, :] - state.linvel[None, :, :]
-    vn = jnp.sum(relv * n_hat, axis=-1)
+    # world normal = sign * column `axis` of R_j, pointing from j toward i
+    n = jnp.take_along_axis(
+        jnp.swapaxes(R, 1, 2)[None, :, None, :, :],  # rows = columns of R_j
+        axis[..., None, None].repeat(3, -1),
+        axis=-2,
+    )[..., 0, :] * sign[..., None]  # [B_i, B_j, P, 3]
+
+    # contact-point velocities
+    r_i = r_arm[:, None, :, :]  # arm on i
+    r_j = x[:, None, :, :] - state.pos[None, :, None, :]  # arm on j
+    u = (
+        state.linvel[:, None, None, :]
+        + jnp.cross(state.angvel[:, None, None, :], r_i)
+        - state.linvel[None, :, None, :]
+        - jnp.cross(state.angvel[None, :, None, :], r_j)
+    )
+    u_n = jnp.sum(u * n, axis=-1)  # [B_i, B_j, P]
+
+    # effective mass with angular terms on both bodies
+    rxn_i = jnp.cross(r_i, n)
+    rxn_j = jnp.cross(r_j, n)
+    ang_i = jnp.einsum("ijpa,iab,ijpb->ijp", rxn_i, inv_I_world, rxn_i)
+    ang_j = jnp.einsum("ijpa,jab,ijpb->ijp", rxn_j, inv_I_world, rxn_j)
     m_eff = 1.0 / jnp.maximum(
-        params.inv_mass[:, None] + params.inv_mass[None, :], 1e-9
+        params.inv_mass[:, None, None] + params.inv_mass[None, :, None]
+        + ang_i + ang_j,
+        1e-9,
     )
-    jn = jnp.where(pair, m_eff * jnp.maximum(-vn, 0.0) * 1.0, 0.0)
-    # light positional bias to resolve overlap
-    jn = jn + jnp.where(pair, m_eff * (rsum - dist) * 2.0, 0.0)
-    imp = jn[..., None] * n_hat  # impulse on body i from j
-    dv = params.inv_mass[:, None] * jnp.sum(imp, axis=1)
-    return dv
+
+    # positional bias only for penetration beyond the margin shell
+    # positional bias only for penetration beyond the margin shell
+    bias = (baumgarte / dt) * jnp.maximum(depth - margin, 0.0)
+    jn = m_eff * (jnp.maximum(-u_n, 0.0) + bias)
+    # Jacobi split PER PAIR with over-relaxation: contacts of one pair
+    # share (roughly) a direction, so dividing by the pair's count and
+    # relaxing toward full correction converges in few sweeps without the
+    # dilution a global per-body split causes
+    n_pair = jnp.maximum(jnp.sum(inside, axis=2, keepdims=True), 1)
+    jn = 1.6 * jnp.where(inside, jn, 0.0) / n_pair
+
+    # Coulomb friction against the tangential slip at each contact
+    u_t = u - u_n[..., None] * n
+    u_t_norm = jnp.linalg.norm(u_t, axis=-1)
+    t_hat = u_t / jnp.maximum(u_t_norm, 1e-9)[..., None]
+    mu = jnp.minimum(params.friction[:, None], params.friction[None, :])[
+        ..., None
+    ]
+    jt = jnp.minimum(m_eff * u_t_norm / jnp.maximum(n_pair, 1), mu * jn)
+    jt = jnp.where(inside, jt, 0.0)
+
+    imp = jn[..., None] * n - jt[..., None] * t_hat  # on body i (+), j (-)
+    dv = params.inv_mass[:, None] * jnp.sum(imp, axis=(1, 2)) - (
+        params.inv_mass[:, None]
+        * jnp.sum(jnp.swapaxes(imp, 0, 1), axis=(1, 2))
+    )
+    torque_i = jnp.sum(jnp.cross(r_i, imp), axis=(1, 2))
+    # reaction torque on body j accumulates over the other index
+    torque_j = -jnp.sum(jnp.swapaxes(jnp.cross(r_j, imp), 0, 1), axis=(1, 2))
+    dw = jnp.einsum("bij,bj->bi", inv_I_world, torque_i + torque_j)
+    return dv, dw
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -181,7 +276,7 @@ def step(
     state: RigidBodyState,
     dt: float = DEFAULT_DT,
     gravity=DEFAULT_GRAVITY,
-    iters: int = 6,
+    iters: int = 10,
     baumgarte: float = 0.2,
     slop: float = 1e-4,
     heightfield: Heightfield | None = None,
@@ -194,9 +289,9 @@ def step(
 
     def solve(i, st):
         dv_p, dw_p = _ground_contacts(st, params, hf, dt, baumgarte, slop)
-        dv_s = _sphere_contacts(st, params)
+        dv_s, dw_s = _pair_contacts(st, params, dt, baumgarte)
         return st.replace(
-            linvel=st.linvel + dv_p + dv_s, angvel=st.angvel + dw_p
+            linvel=st.linvel + dv_p + dv_s, angvel=st.angvel + dw_p + dw_s
         )
 
     st = jax.lax.fori_loop(0, iters, solve, st)
@@ -223,7 +318,7 @@ def simulate(
     n_steps: int = 310,
     dt: float = DEFAULT_DT,
     gravity=DEFAULT_GRAVITY,
-    iters: int = 6,
+    iters: int = 10,
     heightfield: Heightfield | None = None,
 ) -> Tuple[RigidBodyState, RigidBodyState]:
     """Run the drop simulation, recording every step.

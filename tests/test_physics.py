@@ -16,10 +16,13 @@ def box_params(half=(0.05, 0.05, 0.08), mass=1.0, n_bodies=2):
         np.float64,
     )
     corners = signs * he
-    P = 8
+    # face centers give face-face contacts vertical support points
+    face_centers = np.concatenate([np.diag(he), -np.diag(he)], axis=0)
+    pts = np.concatenate([corners, face_centers], axis=0)
+    P = len(pts)
     points = np.zeros((n_bodies, P, 3), np.float32)
     point_mask = np.zeros((n_bodies, P), bool)
-    points[1] = corners
+    points[1] = pts
     point_mask[1] = True
     inv_mass = np.array([0.0] + [1.0 / mass] * (n_bodies - 1), np.float32)
     ext = 2 * he
@@ -128,3 +131,30 @@ def test_simulate_batch_vmaps():
     np.testing.assert_allclose(
         np.asarray(traj.pos[0]), np.asarray(traj.pos[-1]), atol=1e-6
     )
+
+
+def test_box_stacks_on_box():
+    """Point-vs-OBB pair contacts let a box REST on another box (the
+    sphere proxy could not hold a stack)."""
+    params = box_params(half=(0.06, 0.06, 0.04), n_bodies=3)
+    params = params.replace(
+        points=params.points.at[2].set(params.points[1]),
+        point_mask=params.point_mask.at[2].set(params.point_mask[1]),
+        half_extents=jnp.tile(jnp.array([0.06, 0.06, 0.04]), (3, 1)),
+        radius=jnp.full((3,), float(np.linalg.norm([0.06, 0.06, 0.04]))),
+    )
+    # drop slightly off-center (exactly axis-aligned equal boxes are a
+    # measure-zero configuration; a few mm offset is the realistic case)
+    state0 = rb.RigidBodyState.rest(
+        pos=np.array([[0, 0, 0], [0, 0, 0.05], [0.008, 0.004, 0.25]], np.float32),
+        rot=np.tile(np.array([1, 0, 0, 0], np.float32), (3, 1)),
+    )
+    _, final = rb.simulate(params, state0, n_steps=800)
+    z = np.asarray(final.pos)[:, 2]
+    # bottom box on the floor, top box resting ON it (z approx 3*h = 0.12)
+    assert abs(z[1] - 0.04) < 0.02, z
+    assert 0.09 < z[2] < 0.16, z
+    assert float(jnp.linalg.norm(final.linvel[2])) < 0.15
+    # stacked, not side by side
+    xy_off = np.linalg.norm(np.asarray(final.pos)[2, :2] - np.asarray(final.pos)[1, :2])
+    assert xy_off < 0.06, xy_off
