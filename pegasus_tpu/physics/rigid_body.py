@@ -238,8 +238,10 @@ def _pair_contacts(
     )
 
     # positional bias only for penetration beyond the margin shell
-    # positional bias only for penetration beyond the margin shell
-    bias = (baumgarte / dt) * jnp.maximum(depth - margin, 0.0)
+    # positional bias only for penetration beyond the margin shell;
+    # capped so deeply-overlapping spawns separate gently instead of
+    # being launched (Bullet similarly caps penetration recovery)
+    bias = jnp.minimum((baumgarte / dt) * jnp.maximum(depth - margin, 0.0), 1.0)
     jn = m_eff * (jnp.maximum(-u_n, 0.0) + bias)
     # Jacobi split PER PAIR with over-relaxation: contacts of one pair
     # share (roughly) a direction, so dividing by the pair's count and
