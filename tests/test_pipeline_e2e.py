@@ -223,3 +223,39 @@ def test_dynamic_gt_tracks_motion(synthetic_root, tmp_path):
     t3 = np.asarray(gt["3"][0]["T_m2w"]).reshape(4, 4)[:3, 3]
     # object is falling during the first timesteps -> pose must change
     assert np.linalg.norm(t3 - t0) > 1e-4
+
+
+def test_splat_budget_static_shapes(synthetic_root, tmp_path):
+    """splat_budget pads every scene to one static cloud size, so varying
+    object subsets reuse ONE compiled render program."""
+    env, objs = _assets(synthetic_root)
+    out = tmp_path / "out"
+    pegasus = PEGASUS(
+        dataset_path=str(synthetic_root),
+        env_dataset_path=str(synthetic_root),
+        urdf_asset_folder=str(synthetic_root / "urdf"),
+        gs_env_list=[env],
+        gs_object_list=objs,
+        render_height=40,
+        render_width=48,
+        num_cameras=1,
+        simulation_steps=30,
+        num_camera_interpolation_steps=2,
+        mode="static",
+        camera_trajectory_mode="sequence",
+        dataset_base_path=str(out),
+        seed=1,
+        splat_budget=6000,
+    )
+    name = "budget_test"
+    for scene_id, n_obj in ((1, 1), (2, 2)):
+        pegasus.init_bullet([env], objs, name, scene_id, n_obj, n_obj)
+        pegasus.init(name, scene_id)
+        pegasus.init_start_position()
+        assert pegasus.template.cloud.num_splats == 6000
+        pegasus.generate_dataset(["rgb", "depth"], save_bop=True,
+                                 save_video=False)
+        pegasus.save2bop()
+    for scene_id in (1, 2):
+        scene = out / name / "train" / f"{scene_id:06d}"
+        assert (scene / "rgb" / "000000.png").exists()
