@@ -39,7 +39,7 @@ def _tet_circumradius(pts: np.ndarray, tets: np.ndarray) -> np.ndarray:
     ok = np.abs(det) > 1e-14
     x = np.zeros((len(tets), 3))
     if ok.any():
-        x[ok] = np.linalg.solve(2.0 * A[ok], rhs[ok])
+        x[ok] = np.linalg.solve(2.0 * A[ok], rhs[ok][..., None])[..., 0]
     r = np.linalg.norm(x, axis=1)
     r[~ok] = np.inf
     return r
