@@ -87,9 +87,9 @@ def bin_splats(
     width: int,
     height: int,
     tile: int = 16,
-    a_small: int = 6,
-    big_budget: int = 8192,
-    a_big: int = 64,
+    a_small: int = 4,
+    big_budget: int = 16384,
+    a_big: int = 36,
     lane_pad: int = 1024,
 ) -> TileBins:
     n = proj.mean_x.shape[0]

@@ -293,9 +293,9 @@ def rasterize_pallas(
     max_objects: int = 8,
     tile: int = 16,
     chunk: int = 256,
-    a_small: int = 6,
-    big_budget: int = 8192,
-    a_big: int = 64,
+    a_small: int = 4,
+    big_budget: int = 16384,
+    a_big: int = 36,
     interpret: bool = False,
 ) -> RenderOutputs:
     """Drop-in alternative to rasterize_reference (same RenderOutputs)."""

@@ -171,9 +171,9 @@ def rasterize_projected_tiled(
     tile: int = 16,
     max_per_tile: int = 1024,
     chunk: int = 256,
-    a_small: int = 6,
-    big_budget: int = 8192,
-    a_big: int = 64,
+    a_small: int = 4,
+    big_budget: int = 16384,
+    a_big: int = 36,
 ) -> RenderOutputs:
     bins = bin_splats(
         proj, width, height, tile=tile,
@@ -195,9 +195,9 @@ def rasterize_tiled(
     tile: int = 16,
     max_per_tile: int = 1024,
     chunk: int = 256,
-    a_small: int = 6,
-    big_budget: int = 8192,
-    a_big: int = 64,
+    a_small: int = 4,
+    big_budget: int = 16384,
+    a_big: int = 36,
     dup_factor: int = 0,  # legacy, unused (kept for call compatibility)
 ) -> RenderOutputs:
     """Drop-in alternative to rasterize_reference (same RenderOutputs)."""
