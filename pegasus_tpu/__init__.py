@@ -22,7 +22,8 @@ Design goals (vs the CUDA/torch reference):
 
 __version__ = "0.1.0"
 
-from pegasus_tpu.gs.cloud import GaussianCloud
+from pegasus_tpu.gs.cloud import GaussianCloud, merge
 from pegasus_tpu.camera import Camera
+from pegasus_tpu.config import GenerationConfig
 
-__all__ = ["GaussianCloud", "Camera", "__version__"]
+__all__ = ["GaussianCloud", "merge", "Camera", "GenerationConfig", "__version__"]

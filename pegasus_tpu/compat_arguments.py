@@ -98,7 +98,9 @@ def get_combined_args(parser: ArgumentParser, argv=None):
     if args_cmdline.model_path and os.path.exists(cfg_path):
         with open(cfg_path) as f:
             cfgfile_string = f.read()
-        args_cfgfile = eval(cfgfile_string)  # Namespace(...) literal format
+        args_cfgfile = eval(  # noqa: S307 — Inria writes Namespace(...) literals
+            cfgfile_string, {"Namespace": Namespace}
+        )
         for k, v in vars(args_cfgfile).items():
             if v is not None:
                 merged.setdefault(k, v)
