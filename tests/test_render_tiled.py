@@ -85,3 +85,33 @@ def test_tiled_hd_resolution_shapes(rng):
     assert out.amodal.shape == (720, 1280, 2)
     a = np.asarray(out.rgb)
     assert np.isfinite(a).all() and a.max() > 0.05
+
+
+@pytest.mark.parametrize("seed", [11, 23, 57])
+def test_tiled_matches_golden_fuzz(seed):
+    """Randomized scenes & viewpoints keep the >40 dB parity gate."""
+    rng = np.random.default_rng(seed)
+    from pegasus_tpu.testing import make_random_cloud
+
+    env = make_plane_cloud(rng, n=600, size=1.5)
+    parts = [env]
+    for k in range(int(rng.integers(1, 4))):
+        parts.append(
+            make_random_cloud(
+                rng, n=int(rng.integers(100, 300)),
+                center=rng.uniform(-0.3, 0.3, 3) + [0, 0, 0.35],
+                extent=0.2, object_id=k + 1,
+            )
+        )
+    scene = merge(parts)
+    az = rng.uniform(0, 2 * np.pi)
+    cam = Camera.look_at(
+        eye=(0.8 * np.cos(az), 0.8 * np.sin(az), rng.uniform(0.4, 1.0)),
+        target=(0, 0, 0.1), up=(0, 0, 1),
+        fovx=np.deg2rad(60), fovy=np.deg2rad(50), width=96, height=72,
+    )
+    ref = rasterize_reference(scene, cam, background=BG, max_objects=4)
+    til = rasterize_tiled(scene, cam, background=BG, max_objects=4,
+                          max_per_tile=2048)
+    assert psnr(ref.rgb, til.rgb) > 40
+    assert psnr(ref.amodal, til.amodal) > 40
