@@ -222,6 +222,7 @@ def composite_tiles_pallas(
     max_objects: int = 8,
     chunk: int = 256,
     interpret: bool = False,
+    tiles_per_program: int = 1,
 ) -> RenderOutputs:
     tile = bins.tile
     ntx, nty = bins.n_tiles_x, bins.n_tiles_y
@@ -231,35 +232,61 @@ def composite_tiles_pallas(
     f_out = 5 + 3 * k + 2
     w_lanes = chunk + _ALIGN
 
-    kernel = functools.partial(
-        _composite_kernel,
-        tile=tile,
-        ntx=ntx,
-        chunk=chunk,
-        max_objects=max_objects,
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, px_n, f_out),
-            lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, binning.PARAM_DIM, w_lanes), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, px_n, f_out), jnp.float32),
-        interpret=interpret,
-    )(bins.tile_start, bins.tile_count, bins.params_t)
+    scratch = [
+        pltpu.VMEM((2, binning.PARAM_DIM, w_lanes), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if tiles_per_program == 1:
+        kernel = functools.partial(
+            _composite_kernel,
+            tile=tile, ntx=ntx, chunk=chunk, max_objects=max_objects,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, px_n, f_out), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, px_n, f_out), jnp.float32),
+            interpret=interpret,
+        )(bins.tile_start, bins.tile_count, bins.params_t)
+    else:
+        t_per = tiles_per_program
+        n_prog = -(-n_tiles // t_per)
+        pad_t = n_prog * t_per - n_tiles
+        starts = jnp.pad(bins.tile_start, (0, pad_t))
+        counts = jnp.pad(bins.tile_count, (0, pad_t))
+        kernel = functools.partial(
+            _composite_kernel_mt,
+            tile=tile, ntx=ntx, chunk=chunk, max_objects=max_objects,
+            tiles_per_program=t_per,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_prog,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, t_per, px_n, f_out), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
+        )
+        out4 = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n_prog, t_per, px_n, f_out), jnp.float32
+            ),
+            interpret=interpret,
+        )(starts, counts, bins.params_t)
+        out = out4.reshape(n_prog * t_per, px_n, f_out)[:n_tiles]
 
     background = jnp.asarray(background, jnp.float32)
 
@@ -297,6 +324,7 @@ def rasterize_pallas(
     big_budget: int = 16384,
     a_big: int = 36,
     interpret: bool = False,
+    tiles_per_program: int = 1,
 ) -> RenderOutputs:
     """Drop-in alternative to rasterize_reference (same RenderOutputs)."""
     proj = project_gaussians(cloud, cam, sh_degree, scaling_modifier)
@@ -313,4 +341,200 @@ def rasterize_pallas(
         max_objects=max_objects,
         chunk=chunk,
         interpret=interpret,
+        tiles_per_program=tiles_per_program,
+    )
+
+
+def _composite_kernel_mt(
+    # scalar prefetch
+    start_ref,  # [n_tiles_pad] i32
+    count_ref,  # [n_tiles_pad] i32
+    # inputs
+    params_hbm,  # [16, M_pad] f32, memory_space=ANY
+    # outputs
+    out_ref,  # [T_PER, PX, F_OUT] f32 VMEM block
+    # scratch
+    buf_ref,  # [2, 16, W] f32 VMEM
+    sem_ref,  # DMA semaphores (2,)
+    *,
+    tile: int,
+    ntx: int,
+    chunk: int,
+    max_objects: int,
+    tiles_per_program: int,
+):
+    """Multi-tile variant: one program composites `tiles_per_program`
+    consecutive tiles with a single software-pipelined DMA stream, so the
+    first-chunk DMA latency of tile t+1 hides under tile t's last chunk
+    (the single-tile kernel pays it per program)."""
+    p_id = pl.program_id(0)
+    t_per = tiles_per_program
+    base_tile = p_id * t_per
+    px_n = tile * tile
+    k = max_objects
+
+    w_lanes = chunk + _ALIGN
+    rr = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, w_lanes), 0)
+    cc_i = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, w_lanes), 1)
+    tri = (rr <= cc_i).astype(jnp.float32)
+
+    def cumsum_lanes(x):
+        return jax.lax.dot(x, tri, preferred_element_type=jnp.float32)
+
+    def tile_scalars(t_local):
+        t_global = base_tile + t_local
+        start = start_ref[t_global]
+        count = count_ref[t_global]
+        # every tile takes >= 1 step so its output slot is always written
+        n_chunks = jnp.maximum((count + chunk - 1) // chunk, 1)
+        return start, count, n_chunks
+
+    def dma_for(t_local, c_i, slot):
+        start, _, _ = tile_scalars(t_local)
+        base = (start // _ALIGN) * _ALIGN
+        return pltpu.make_async_copy(
+            params_hbm.at[:, pl.ds(base + c_i * chunk, w_lanes)],
+            buf_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    total_steps = jnp.int32(0)
+    for t in range(t_per):
+        total_steps = total_steps + tile_scalars(t)[2]
+
+    dma_for(0, 0, 0).start()
+
+    lin = jax.lax.broadcasted_iota(jnp.int32, (px_n, 1), 0)
+    kl = jax.lax.broadcasted_iota(jnp.int32, (k, w_lanes), 0).astype(jnp.float32)
+    w_ids = jax.lax.broadcasted_iota(jnp.int32, (1, w_lanes), 1)
+
+    init_acc = (
+        jnp.ones((px_n, 1), jnp.float32),
+        jnp.ones((px_n, 1), jnp.float32),
+        jnp.zeros((px_n, 5 + 2 * k), jnp.float32),
+        jnp.zeros((px_n, k), jnp.float32),
+    )
+
+    def body(g, carry):
+        t_local, c_i, t_full, t_ne, acc, amodal_log = carry
+        start, count, n_chunks = tile_scalars(t_local)
+        is_last = c_i + 1 >= n_chunks
+        slot = g % 2
+
+        # prefetch the NEXT step's window (next chunk or next tile's first)
+        nt = jnp.where(is_last, t_local + 1, t_local)
+        nc = jnp.where(is_last, 0, c_i + 1)
+
+        @pl.when(g + 1 < total_steps)
+        def _():
+            dma_for(nt, nc, (g + 1) % 2).start()
+
+        dma_for(t_local, c_i, slot).wait()
+        p = buf_ref[slot]  # [16, W]
+
+        t_global = base_tile + t_local
+        ty = t_global // ntx
+        tx = t_global % ntx
+        pxs = (lin % tile + tx * tile).astype(jnp.float32)
+        pys = (lin // tile + ty * tile).astype(jnp.float32)
+
+        base = (start // _ALIGN) * _ALIGN
+        off = start - base
+        entry_ok = (
+            (w_ids >= off)
+            & (w_ids < off + chunk)
+            & (c_i * chunk + (w_ids - off) < count)
+        )
+
+        mx = p[binning.P_MX : binning.P_MX + 1, :]
+        my = p[binning.P_MY : binning.P_MY + 1, :]
+        ca = p[binning.P_CA : binning.P_CA + 1, :]
+        cb = p[binning.P_CB : binning.P_CB + 1, :]
+        cc = p[binning.P_CC : binning.P_CC + 1, :]
+        opac = p[binning.P_OPAC : binning.P_OPAC + 1, :]
+        rad = p[binning.P_RADIUS : binning.P_RADIUS + 1, :]
+        is_env = p[binning.P_ENV : binning.P_ENV + 1, :] > 0.5
+
+        dx = pxs - mx
+        dy = pys - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(opac * jnp.exp(jnp.minimum(power, 0.0)), 0.99)
+        keep = (
+            (power <= 0.0)
+            & (alpha >= 1.0 / 255.0)
+            & (jnp.abs(dx) <= rad)
+            & (jnp.abs(dy) <= rad)
+            & entry_ok
+        )
+        alphas = jnp.where(keep, alpha, 0.0)
+
+        obj = p[binning.P_OBJ : binning.P_OBJ + 1, :]
+        onehot_t = (jnp.abs(kl - obj) < 0.5).astype(jnp.float32)
+        feat_t = jnp.concatenate(
+            [
+                p[binning.P_R : binning.P_B + 1, :],
+                p[binning.P_DEPTH : binning.P_DEPTH + 1, :],
+                jnp.ones((1, w_lanes), jnp.float32),
+                onehot_t,
+            ],
+            axis=0,
+        )
+
+        def dot_t(w, f_t):
+            return jax.lax.dot_general(
+                w, f_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        log1m = jnp.log1p(-alphas)
+        excl = jnp.exp(cumsum_lanes(log1m) - log1m)
+        w_full = alphas * excl * t_full
+        acc_full = dot_t(w_full, feat_t)
+        new_t_full = t_full * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
+
+        has_obj = jnp.any((~is_env) & entry_ok & (alphas > 0.0))
+
+        def with_objects(_):
+            alphas_ne = jnp.where(is_env, 0.0, alphas)
+            log1m_ne = jnp.log1p(-alphas_ne)
+            excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne)
+            w_ne = alphas_ne * excl_ne * t_ne
+            return (
+                dot_t(w_ne, onehot_t),
+                t_ne * jnp.exp(jnp.sum(log1m_ne, axis=1, keepdims=True)),
+                dot_t(log1m, onehot_t),
+            )
+
+        def env_only(_):
+            env_col = p[binning.P_ENV : binning.P_ENV + 1, :]
+            d_env = dot_t(log1m, env_col)
+            return (
+                jnp.zeros((px_n, k), jnp.float32),
+                t_ne,
+                jnp.pad(d_env, ((0, 0), (0, k - 1))),
+            )
+
+        acc_ne, new_t_ne, d_amodal = jax.lax.cond(
+            has_obj, with_objects, env_only, None
+        )
+
+        acc = acc + jnp.concatenate([acc_full, acc_ne], axis=1)
+        amodal_log = amodal_log + d_amodal
+
+        @pl.when(is_last)
+        def _():
+            out_ref[0, pl.ds(t_local, 1)] = jnp.concatenate(
+                [acc, amodal_log, new_t_full, new_t_ne], axis=1
+            )[None]
+
+        # reset accumulators at tile boundaries
+        t_full2 = jnp.where(is_last, init_acc[0], new_t_full)
+        t_ne2 = jnp.where(is_last, init_acc[1], new_t_ne)
+        acc2 = jnp.where(is_last, init_acc[2], acc)
+        amodal2 = jnp.where(is_last, init_acc[3], amodal_log)
+        return (nt, nc, t_full2, t_ne2, acc2, amodal2)
+
+    jax.lax.fori_loop(
+        0, total_steps, body, (jnp.int32(0), jnp.int32(0)) + init_acc
     )
