@@ -28,23 +28,18 @@ import jax
 import jax.numpy as jnp
 
 from pegasus_tpu.assets.registry import Asset
-from pegasus_tpu.camera import Camera
-from pegasus_tpu.gs.cloud import GaussianCloud
 from pegasus_tpu.gs.ply import load_gs_ply
 from pegasus_tpu.io import colmap as colmap_io
-from pegasus_tpu.io.bop_writer import BOPDatasetWriter, write_models
+from pegasus_tpu.io.bop_writer import BOPDatasetWriter
 from pegasus_tpu.io.mesh import load_mesh
-from pegasus_tpu.ops.render import (FrameDataPoints, encode_frame,
-                                    pack_frame_bytes, render_frame,
-                                    unpack_frame_bytes)
+from pegasus_tpu.ops.render import (encode_frame, pack_frame_bytes,
+                                    render_frame, unpack_frame_bytes)
 from pegasus_tpu.physics.engine import PhysicsEngine
 from pegasus_tpu.scene.camera_trajectory import create_camera_trajectory
 from pegasus_tpu.scene.composition import SceneTemplate, pose_scene
 from pegasus_tpu.scene.trajectory import Trajectory
 from pegasus_tpu.scene.video import VideoStreams, draw_object_centers
-from pegasus_tpu.utils import quaternion as quat
 from pegasus_tpu.utils.colors import generate_colors
-from pegasus_tpu.utils.pose import focal2fov
 
 
 class PEGASUS:

@@ -21,7 +21,7 @@ import numpy as np
 from scipy.spatial import Delaunay
 
 from pegasus_tpu.io.mesh import TriMesh, save_obj
-from pegasus_tpu.physics.urdf import box_inertia, generate_urdf
+from pegasus_tpu.physics.urdf import generate_urdf
 
 
 def _tet_circumradius(pts: np.ndarray, tets: np.ndarray) -> np.ndarray:

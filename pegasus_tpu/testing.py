@@ -10,7 +10,6 @@ ones (Inria PLY, COLMAP bin, OBJ, URDF).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from pegasus_tpu.gs.cloud import GaussianCloud
 from pegasus_tpu.utils import sh as shlib
@@ -215,7 +214,6 @@ def build_synthetic_dataset(
     so the full PEGASUS pipeline (load -> physics -> render -> BOP) runs
     without the released ~50 GB archives (layout per README.md:218-253).
     """
-    import os
     from pathlib import Path
 
     from pegasus_tpu.gs.ply import save_gs_ply

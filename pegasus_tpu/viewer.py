@@ -111,7 +111,6 @@ def serve_viewer(
     orbit, +/- zooms.  Replaces the SIBR network_gui socket protocol
     (reference: pegasus.py:84-86, 249-279) with plain HTTP."""
     import io
-    import json
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     import jax
