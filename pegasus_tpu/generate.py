@@ -69,6 +69,7 @@ def run_generation(
             background=config.background,
             seed=config.seed,
             splat_budget=config.splat_budget,
+            unit_scale=config.unit_scale,
         )
 
     # models once, keyed by real IDs (reference: pegasus.py:510-512)

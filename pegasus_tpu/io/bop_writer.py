@@ -302,11 +302,27 @@ def write_models(
     return info
 
 
-def calculate_gt_info(dataset_root, dataset_name: str, scene_ids: Sequence[int]) -> None:
+def calculate_gt_info(dataset_root, dataset_name=None, scene_ids=None, object_list=None) -> None:
     """scene_gt_info.json per scene: bbox_obj/bbox_visib/px counts/
-    visib_fract from the written mask PNGs (contract: pegasus.py:536,
-    schema per bop_toolkit scripts/calc_gt_info.py)."""
+    visib_fract from the written mask PNGs (schema per bop_toolkit
+    scripts/calc_gt_info.py).
+
+    Two call shapes are accepted:
+      * ``calculate_gt_info(dataset_root, dataset_name, scene_ids)`` —
+        explicit paths (this package's native form);
+      * ``calculate_gt_info(dataset_name, num_scenes, object_list)`` —
+        the reference's signature (reference: pegasus.py:536), where the
+        dataset root comes from the ``PEGASUS_PATH`` environment variable
+        (reference: pegasus.py:407) and scenes are 1..num_scenes.
+    """
     import imageio.v2 as imageio
+
+    if isinstance(dataset_name, int):
+        # reference call shape: (dataset_name, num_scenes, object_list)
+        num_scenes = dataset_name
+        dataset_name = str(dataset_root)
+        dataset_root = os.environ.get("PEGASUS_PATH", ".")
+        scene_ids = range(1, num_scenes + 1)
 
     for scene_id in scene_ids:
         scene_path = Path(dataset_root) / dataset_name / "train" / f"{scene_id:06d}"

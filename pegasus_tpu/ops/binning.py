@@ -217,10 +217,11 @@ def bin_splats(
     vals = jnp.concatenate([small_val, big_val])
     vals = jnp.where(keys == sentinel, n, vals)  # dummy row for invalids
 
-    # keys are unique among valid entries (distinct tile or distinct depth
-    # rank), so an unstable sort is deterministic where it matters; only
-    # sentinel-keyed garbage entries may permute.
-    sorted_key, sorted_src = jax.lax.sort((keys, vals), num_keys=1,
+    # same-tile splats whose depths agree in the top depth_bits of the float
+    # bit pattern produce duplicate keys; the source index rides as a SECOND
+    # sort key so their compositing order is a deterministic function of
+    # splat index (run-to-run and backend-to-backend reproducible)
+    sorted_key, sorted_src = jax.lax.sort((keys, vals), num_keys=2,
                                           is_stable=False)
     m_total = keys.shape[0]
 

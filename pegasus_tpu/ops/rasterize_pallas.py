@@ -244,7 +244,7 @@ def composite_tiles_pallas(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, px_n, f_out), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -271,7 +271,7 @@ def composite_tiles_pallas(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_prog,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (1, t_per, px_n, f_out), lambda i, *_: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,

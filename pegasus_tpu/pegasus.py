@@ -67,6 +67,7 @@ class PEGASUS:
         seed: Optional[int] = None,
         splat_budget: Optional[int] = None,
         rasterize_fn=None,
+        unit_scale: float = 1000.0,
         QUIET: bool = False,
         publish2gui: bool = False,  # accepted for API parity (no SIBR socket)
     ):
@@ -85,6 +86,7 @@ class PEGASUS:
         self.fps = 50
         self.rng = np.random.default_rng(seed)
         self.splat_budget = splat_budget
+        self.unit_scale = unit_scale
         self.rasterize_fn = rasterize_fn
         self.QUIET = QUIET
 
@@ -189,6 +191,7 @@ class PEGASUS:
             render_height=self.render_height,
             object_models=self.object_meshes,
             scene_id=scene_id,
+            unit_scale=self.unit_scale,
         )
 
         self.viewport_cam_list = create_camera_trajectory(
@@ -221,6 +224,7 @@ class PEGASUS:
         id_to_asset = traj.bullet_id_to_asset()
 
         self.semantic_colors = generate_colors(len(bullet_ids), mode="rgb")
+        self._semantic_colors_dev = jnp.asarray(self.semantic_colors, jnp.float32)
 
         env_cloud = self.gaussian_environment_pre_load[self.selected_env_name]["gs"]
         object_clouds = []
@@ -251,9 +255,17 @@ class PEGASUS:
     # -- main loop ------------------------------------------------------------------
 
     @functools.cached_property
-    def _frame_fn(self):
-        """One jitted program: pose bodies + rasterize + decode modalities."""
-        colors = jnp.asarray(self.semantic_colors, jnp.float32)
+    def _render_program(self):
+        """One jitted program: pose bodies + rasterize + decode modalities.
+
+        The semantic palette is a RUNTIME argument, not a closure capture:
+        ``init_start_position`` recomputes ``semantic_colors`` per scene
+        (the reference re-derives colors per scene, pegasus.py:218-234), so
+        baking it in at first trace would render every later scene with the
+        first scene's K (collapsed mask channels, wrong palette, masks
+        bit-unpacked with the wrong K).  jit retraces only when K — the
+        palette's shape — changes.
+        """
         background = self.background
         kwargs = {}
         if self.rasterize_fn is not None:
@@ -270,7 +282,7 @@ class PEGASUS:
             kwargs["rasterize_fn"] = rasterize_tiled
 
         @jax.jit
-        def fn(template, body_R, body_t, cam):
+        def fn(template, body_R, body_t, cam, colors):
             scene = pose_scene(template, body_R, body_t)
             frame = render_frame(scene, cam, colors, background=background, **kwargs)
             # encode + pack on-device: the frame loop is readback-bound,
@@ -278,6 +290,11 @@ class PEGASUS:
             return pack_frame_bytes(encode_frame(frame))
 
         return fn
+
+    def _frame_fn(self, template, body_R, body_t, cam):
+        return self._render_program(
+            template, body_R, body_t, cam, self._semantic_colors_dev
+        )
 
     def generate_dataset(
         self,

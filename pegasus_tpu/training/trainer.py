@@ -331,18 +331,34 @@ class GSTrainer:
             .set(can_place)[:cap],
         )
         # split parents shrink too (the reference deletes the parent and
-        # adds N=2 children; shrinking parent+1 child is equivalent)
+        # adds N=2 children; shrinking parent+1 child is equivalent).
+        # Mask on `keep` (pre-placement survivors), NOT post-placement
+        # alive: a child placed into a slot freed by pruning a split-flagged
+        # parent must not inherit that slot's shrink.
         parent_scale = jnp.where(
-            (split_mask & cloud.alive)[:, None],
+            (split_mask & keep)[:, None],
             cloud.scale - jnp.log(0.8 * 2),
             cloud.scale,
         )
         cloud = cloud.replace(scale=parent_scale)
 
-        # reset ALL Adam moments after a topology change (simpler than the
-        # reference's per-slot surgery, gaussian_model.py:290-363; the loss
-        # landscape shifts anyway right after densify)
-        opt_state = self.optimizer.init(_param_dict(cloud))
+        # per-slot Adam moment surgery (reference: gaussian_model.py:290-363
+        # zeroes moments of new rows and keeps survivors'): zero moments of
+        # slots whose contents changed (placed children + pruned parents),
+        # keep everything else — including the schedule count, so the
+        # position LR keeps decaying on the GLOBAL iteration.
+        replaced = (
+            jnp.zeros(cap + 1, bool).at[dst].set(can_place)[:cap]
+        )
+        stale = replaced | ~keep
+
+        def _zero_stale(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
+                m = stale.reshape((-1,) + (1,) * (x.ndim - 1))
+                return jnp.where(m, jnp.zeros_like(x), x)
+            return x
+
+        opt_state = jax.tree.map(_zero_stale, state.opt_state)
 
         return state.replace(
             cloud=cloud,
@@ -377,20 +393,29 @@ class GSTrainer:
         rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
         metrics = {}
+        # densify/opacity-reset fire on the GLOBAL step (state.step), not the
+        # segment-local counter: the per-milestone segments of
+        # train_gaussian_splatting_wrapper must not restart the densify
+        # window past the 15k cutoff (Inria schedules are global).
+        base_step = int(state.step)
         for it in range(1, iterations + 1):
+            gstep = base_step + it
             idx = int(rng.integers(0, len(cameras)))
             state, metrics = self.train_step(state, cameras[idx], gt_images[idx])
             if (
-                c.densify_from_iter <= it <= c.densify_until_iter
-                and it % c.densification_interval == 0
+                c.densify_from_iter <= gstep <= c.densify_until_iter
+                and gstep % c.densification_interval == 0
             ):
                 key, sub = jax.random.split(key)
                 state = self.densify_and_prune(state, sub, scene_extent)
-            if it % c.opacity_reset_interval == 0 and it <= c.densify_until_iter:
+            if (
+                gstep % c.opacity_reset_interval == 0
+                and gstep <= c.densify_until_iter
+            ):
                 state = self.reset_opacity(state)
             if log_every and it % log_every == 0:
                 print(
-                    f"iter {it}: loss={float(metrics['loss']):.4f} "
+                    f"iter {gstep}: loss={float(metrics['loss']):.4f} "
                     f"alive={int(np.asarray(state.cloud.alive).sum())}"
                 )
         return state, metrics

@@ -15,18 +15,17 @@ import colorsys
 import numpy as np
 
 
+_SATURATION = 0.7  # must match the reference palette for sem_seg parity
+_LIGHTNESS = 0.6
+
+
 def generate_colors(n: int, mode: str = "bgr") -> np.ndarray:
     """n evenly-spaced HLS colors as float32 [n, 3] in [0,1]."""
-    colors = []
-    for i in range(n):
-        hue = i / n
-        saturation = 0.7
-        lightness = 0.6
-        rgb = colorsys.hls_to_rgb(hue, lightness, saturation)
-        if mode == "bgr":
-            colors.append((rgb[2], rgb[1], rgb[0]))
-        elif mode == "rgb":
-            colors.append(tuple(rgb))
-        else:
-            raise ValueError(f"Color mode {mode} is not supported")
-    return np.asarray(colors, dtype=np.float32)
+    if mode not in ("bgr", "rgb"):
+        raise ValueError(f"unknown channel order {mode!r}; use 'bgr' or 'rgb'")
+    hues = np.arange(n) / max(n, 1)
+    rgb = np.asarray(
+        [colorsys.hls_to_rgb(h, _LIGHTNESS, _SATURATION) for h in hues],
+        dtype=np.float32,
+    ).reshape(n, 3)
+    return rgb[:, ::-1].copy() if mode == "bgr" else rgb

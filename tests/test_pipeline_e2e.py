@@ -253,9 +253,46 @@ def test_splat_budget_static_shapes(synthetic_root, tmp_path):
         pegasus.init(name, scene_id)
         pegasus.init_start_position()
         assert pegasus.template.cloud.num_splats == 6000
-        pegasus.generate_dataset(["rgb", "depth"], save_bop=True,
-                                 save_video=False)
+        assert len(pegasus.semantic_colors) == n_obj
+        pegasus.generate_dataset(
+            ["rgb", "depth", "seg_vis", "seg_sil", "sem_seg"],
+            save_bop=True, save_video=False,
+        )
         pegasus.save2bop()
-    for scene_id in (1, 2):
+
+    import imageio.v2 as imageio
+
+    # Scene 2 has MORE objects than scene 1: the render program must be
+    # re-specialized per scene (the palette is a runtime argument of the
+    # jitted frame fn).  A stale K=1 program would collapse object 2 into
+    # object 1's mask channel and bit-unpack masks with the wrong K.
+    for scene_id, n_obj in ((1, 1), (2, 2)):
         scene = out / name / "train" / f"{scene_id:06d}"
         assert (scene / "rgb" / "000000.png").exists()
+        # exactly n_obj mask channels per frame, each with visible pixels
+        masks = sorted((scene / "mask").glob("000000_*.png"))
+        assert len(masks) == n_obj
+        for p in masks:
+            m = np.asarray(imageio.imread(p)) > 127
+            assert m.sum() > 0, f"empty amodal mask {p}"
+        vis = sorted((scene / "mask_visib").glob("000000_*.png"))
+        assert len(vis) == n_obj
+        total_vis = 0
+        for p in vis:
+            m = np.asarray(imageio.imread(p)) > 127
+            total_vis += int(m.sum())
+        assert total_vis > 0
+        # semantic palette must be the per-scene n_obj palette: every
+        # non-black sem pixel is close to one of generate_colors(n_obj)
+        from pegasus_tpu.utils.colors import generate_colors
+
+        sem = np.asarray(imageio.imread(scene / "sem_mask" / "000000.png"))
+        sem_f = sem.astype(np.float32) / 255.0
+        fg = sem_f.reshape(-1, 3)
+        fg = fg[fg.sum(axis=1) > 0.5]
+        assert len(fg) > 0
+        palette = generate_colors(n_obj, mode="rgb")
+        d = np.linalg.norm(fg[:, None, :] - palette[None], axis=-1)
+        # fully-covering pixels sit exactly on a palette color; allow
+        # blended boundary pixels by checking the median distance
+        assert np.median(d.min(axis=1)) < 0.15
