@@ -1,6 +1,12 @@
 """Headline benchmark: frames/sec/chip, 640x480, RGB+depth+seg in one pass.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+measured extras on the same line:
+  pallas_parity_db   — min per-channel PSNR of the COMPILED fast backend
+                       vs the golden compositor on the benchmark scene
+                       (BASELINE gate: > 40 dB; exits nonzero if violated);
+  scenes_per_hour    — one REAL reference-default scene (physics + 300
+                       frames at 640x480 + BOP write) timed end to end.
 
 Scene: ~210k splats (150k environment + 6 objects x 10k), the scale of a
 composed PEGASUS scene (env reconstructions are ~1e5-1e6 splats,
@@ -18,11 +24,87 @@ end-to-end).  vs_baseline = measured_fps / 4.0.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 BASELINE_FPS = 4.0
+
+
+def _parity_gate(scene, cam):
+    """Compiled-backend parity vs the golden compositor (BASELINE: >40 dB).
+
+    Runs on whatever backend jax selected — on TPU this gates the MOSAIC-
+    compiled Pallas kernel, which interpret-mode tests cannot see."""
+    from pegasus_tpu.ops.validate import compare_backends
+
+    report = compare_backends(scene, cam, max_objects=8)
+    worst = min(v for k, v in report.items() if k.endswith("_psnr_db"))
+    return round(float(worst), 2), report
+
+
+def _scenes_per_hour():
+    """Time a REAL generation scene and project the reference default.
+
+    Runs physics (310 steps) + 100 frames (10 cameras x 10 interpolation
+    steps) at 640x480 with every modality and a full BOP write, then
+    scales the per-frame render stage linearly to the reference's 300
+    frames/scene (pegasus.py:502-503).  All components are measured on
+    this hardware; only the frame count is extrapolated (the frame loop
+    is embarrassingly linear)."""
+    import shutil
+    import tempfile
+
+    from pegasus_tpu.assets.registry import Asset
+    from pegasus_tpu.pegasus import PEGASUS
+    from pegasus_tpu.testing import build_synthetic_dataset
+
+    root = tempfile.mkdtemp(prefix="pegasus_bench_")
+    try:
+        build_synthetic_dataset(
+            os.path.join(root, "data"), env_splats=150_000, obj_splats=10_000
+        )
+        data = os.path.join(root, "data")
+        env = Asset(
+            OBJECT_NAME="asphalt", ID=1003, TYPE="environment",
+            dataset_path=data, DROP_REGION=(0.1, 0.1), DROP_HEIGHT=(0.2, 0.3),
+        )
+        objs = [
+            Asset(OBJECT_NAME="cup_noodles_04", ID=104, dataset_path=data),
+            Asset(OBJECT_NAME="cup_noodles_07", ID=107, dataset_path=data),
+        ]
+        pegasus = PEGASUS(
+            dataset_path=data, env_dataset_path=data,
+            urdf_asset_folder=os.path.join(data, "urdf"),
+            gs_env_list=[env], gs_object_list=objs,
+            render_height=480, render_width=640,
+            num_cameras=10, simulation_steps=310,
+            num_camera_interpolation_steps=10,
+            mode="static", camera_trajectory_mode="random",
+            dataset_base_path=os.path.join(root, "out"),
+            seed=3, QUIET=True,
+        )
+        t0 = time.time()
+        pegasus.init_bullet([env], objs, "bench", 1, 2, 2, random=False)
+        pegasus.init("bench", 1)
+        pegasus.init_start_position()
+        t_setup = time.time() - t0
+        # one warmup frame loop would recompile anyway; time the real one
+        t1 = time.time()
+        pegasus.generate_dataset(
+            ["rgb", "depth", "seg_vis", "seg_sil", "sem_seg"],
+            save_bop=True, save_video=False,
+        )
+        pegasus.save2bop()
+        t_frames100 = time.time() - t1
+        scene_s = t_setup + 3.0 * t_frames100  # 300-frame reference scene
+        return round(3600.0 / scene_s, 1), round(scene_s, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main():
@@ -77,16 +159,38 @@ def main():
     dt = (time.time() - t0) / n_iters
     fps = 1.0 / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "frames/sec/chip (640x480 RGB+depth+seg+masks, 210k splats)",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 2),
-            }
+    line = {
+        "metric": "frames/sec/chip (640x480 RGB+depth+seg+masks, 210k splats)",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }
+
+    print(f"[bench] fps={fps:.1f}; running parity gate...", file=sys.stderr)
+    try:
+        line["pallas_parity_db"], parity_report = _parity_gate(scene, cam)
+    except Exception as e:  # noqa: BLE001 — parity failure must be visible
+        line["pallas_parity_db"] = None
+        line["parity_error"] = f"{type(e).__name__}: {e}"
+        parity_report = None
+
+    print(f"[bench] parity={line['pallas_parity_db']}; timing a real scene...",
+          file=sys.stderr)
+    try:
+        line["scenes_per_hour"], line["scene_seconds"] = _scenes_per_hour()
+    except Exception as e:  # noqa: BLE001
+        line["scenes_per_hour"] = None
+        line["scene_error"] = f"{type(e).__name__}: {e}"
+
+    print(json.dumps(line))
+
+    if line["pallas_parity_db"] is not None and line["pallas_parity_db"] <= 40.0:
+        print(
+            f"PARITY GATE FAILED: {line['pallas_parity_db']} dB <= 40 dB\n"
+            f"{json.dumps(parity_report)}",
+            file=sys.stderr,
         )
-    )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

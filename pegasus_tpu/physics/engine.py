@@ -30,6 +30,7 @@ from pegasus_tpu.utils import quaternion as quat
 
 MAX_BODIES = 8
 MAX_POINTS = 48
+MAX_HULL_PLANES = 48
 
 
 def _farthest_point_downsample(pts: np.ndarray, k: int) -> np.ndarray:
@@ -71,6 +72,52 @@ def collision_points_from_mesh(verts: np.ndarray, k: int = MAX_POINTS,
     return _farthest_point_downsample(cand, k)
 
 
+def hull_planes_from_mesh(
+    verts: np.ndarray, k: int = MAX_HULL_PLANES
+) -> tuple[np.ndarray, np.ndarray]:
+    """Convex-hull half-space set (n [k,3], d [k]; inside iff n.x <= d).
+
+    The pair narrow phase collides contact points against these facets —
+    the hull-level fidelity Bullet gets from loadURDF's convex collision
+    (reference: physical_simulation.py:77).  If the hull has more than k
+    facets, the k most direction-diverse ones are kept (dropping facets
+    only makes the proxy slightly larger — conservative).  Padding facets
+    use d=1e9 so they never bind.
+    """
+    from scipy.spatial import ConvexHull
+
+    pts = np.asarray(verts, np.float64)
+    n_pad = np.tile(np.array([0.0, 0.0, 1.0]), (k, 1))
+    d_pad = np.full(k, 1e9)
+    try:
+        hull = ConvexHull(pts)
+    except Exception:
+        lo, hi = pts.min(0), pts.max(0)
+        he = np.maximum((hi - lo) / 2.0, 1e-4)
+        c = (hi + lo) / 2.0
+        eye = np.eye(3)
+        n = np.concatenate([eye, -eye], axis=0)
+        d = np.concatenate([he + eye @ c, he - eye @ c])
+        n_pad[:6], d_pad[:6] = n, d
+        return n_pad.astype(np.float32), d_pad.astype(np.float32)
+
+    eq = hull.equations  # n.x + b <= 0 inside, |n| = 1
+    n, d = eq[:, :3], -eq[:, 3]
+    key = np.round(np.concatenate([n, d[:, None]], axis=1), 4)
+    _, uniq = np.unique(key, axis=0, return_index=True)
+    n, d = n[uniq], d[uniq]
+    if len(n) > k:
+        sel = [int(np.argmax(d))]
+        dist = np.linalg.norm(n - n[sel[0]], axis=1)
+        for _ in range(k - 1):
+            nxt = int(np.argmax(dist))
+            sel.append(nxt)
+            dist = np.minimum(dist, np.linalg.norm(n - n[nxt], axis=1))
+        n, d = n[sel], d[sel]
+    n_pad[: len(n)], d_pad[: len(n)] = n, d
+    return n_pad.astype(np.float32), d_pad.astype(np.float32)
+
+
 class PhysicsEngine:
     """Bullet-free drop simulation (reference ctor:
     physical_simulation.py:20-55)."""
@@ -84,6 +131,9 @@ class PhysicsEngine:
         gravity=rb.DEFAULT_GRAVITY,
         dt: float = rb.DEFAULT_DT,
         seed: int | None = None,
+        max_bodies: int = MAX_BODIES,
+        max_points: int = MAX_POINTS,
+        max_hull_planes: int = MAX_HULL_PLANES,
     ):
         self.trajectory_path = Path(output_path_json)
         self.trajectory_path.parent.mkdir(exist_ok=True, parents=True)
@@ -95,6 +145,10 @@ class PhysicsEngine:
         self.gravity = gravity
         self.dt = dt
         self.rng = np.random.default_rng(seed)
+
+        self.max_bodies = max_bodies
+        self.max_points = max_points
+        self.max_hull_planes = max_hull_planes
 
         self.asset_list = {"environment": {}, "object": {}}
         self._bodies: List[dict] = []  # ordered by bullet id
@@ -116,7 +170,10 @@ class PhysicsEngine:
         with identity orientation; objects get a random UNNORMALIZED
         uniform(0,1)^4 start quaternion (the reference's distribution,
         physical_simulation.py:66-73 — normalized before integration, as
-        Bullet does internally)."""
+        Bullet does internally).  A NON-ZERO ``start_orientation_euler``
+        overrides the random draw (the reference accepts the argument but
+        its conversion is commented out, physical_simulation.py:62 —
+        honoring it here is a documented improvement)."""
         name = object_instance.urdf_file_name
         obj_type = object_instance.TYPE
         class_name = object_instance.__class__.__name__
@@ -147,7 +204,13 @@ class PhysicsEngine:
                 except Exception:
                     self.heightfield = None
         elif obj_type == "object":
-            q_xyzw = self.rng.uniform(0.0, 1.0, size=4)
+            euler = np.asarray(start_orientation_euler, np.float64)
+            if np.any(euler != 0.0):
+                from scipy.spatial.transform import Rotation as _Rot
+
+                q_xyzw = _Rot.from_euler("xyz", euler).as_quat()
+            else:
+                q_xyzw = self.rng.uniform(0.0, 1.0, size=4)
             if obj_name not in self.asset_list["object"]:
                 self.asset_list["object"][obj_name] = {
                     "bullet_id": [body_id],
@@ -163,9 +226,14 @@ class PhysicsEngine:
 
         pts = collision_points_from_mesh(
             verts,
+            k=self.max_points,
             faces=mesh.faces if (mesh_path is not None and mesh_path.exists()) else None,
         )
         lo, hi = verts.min(axis=0), verts.max(axis=0)
+        if obj_type == "object":
+            plane_n, plane_d = hull_planes_from_mesh(verts, self.max_hull_planes)
+        else:
+            plane_n = plane_d = None  # env never enters pair contacts
         self._bodies.append(
             {
                 "name": obj_name,
@@ -174,6 +242,8 @@ class PhysicsEngine:
                 "points": pts,
                 "inertia": box_inertia(max(mass, 1e-6), hi - lo),
                 "half_extents": (hi - lo) / 2.0,
+                "plane_n": plane_n,
+                "plane_d": plane_d,
                 "radius": float(np.linalg.norm(pts, axis=1).max()),
                 "start_pos": np.asarray(start_pos, np.float64),
                 "start_q_xyzw": q_xyzw,
@@ -185,19 +255,24 @@ class PhysicsEngine:
 
     def _build(self):
         b = len(self._bodies)
-        if b > MAX_BODIES:
-            raise ValueError(f"too many bodies: {b} > {MAX_BODIES}")
-        inv_mass = np.zeros(MAX_BODIES, np.float32)
-        inv_inertia = np.zeros((MAX_BODIES, 3), np.float32)
-        points = np.zeros((MAX_BODIES, MAX_POINTS, 3), np.float32)
-        point_mask = np.zeros((MAX_BODIES, MAX_POINTS), bool)
-        radius = np.zeros(MAX_BODIES, np.float32)
-        half_extents = np.full((MAX_BODIES, 3), 1e-3, np.float32)
-        friction = np.full(MAX_BODIES, 0.5, np.float32)
-        restitution = np.zeros(MAX_BODIES, np.float32)
-        body_mask = np.zeros(MAX_BODIES, bool)
-        pos = np.zeros((MAX_BODIES, 3), np.float32)
-        rot = np.tile(np.array([1.0, 0, 0, 0], np.float32), (MAX_BODIES, 1))
+        nb, np_, nh = self.max_bodies, self.max_points, self.max_hull_planes
+        if b > nb:
+            raise ValueError(
+                f"too many bodies: {b} > {nb} (raise max_bodies= on the engine)"
+            )
+        inv_mass = np.zeros(nb, np.float32)
+        inv_inertia = np.zeros((nb, 3), np.float32)
+        points = np.zeros((nb, np_, 3), np.float32)
+        point_mask = np.zeros((nb, np_), bool)
+        radius = np.zeros(nb, np.float32)
+        half_extents = np.full((nb, 3), 1e-3, np.float32)
+        plane_n = np.tile(np.array([0, 0, 1.0], np.float32), (nb, nh, 1))
+        plane_d = np.full((nb, nh), 1e9, np.float32)
+        friction = np.full(nb, 0.5, np.float32)
+        restitution = np.zeros(nb, np.float32)
+        body_mask = np.zeros(nb, bool)
+        pos = np.zeros((nb, 3), np.float32)
+        rot = np.tile(np.array([1.0, 0, 0, 0], np.float32), (nb, 1))
 
         for i, body in enumerate(self._bodies):
             body_mask[i] = True
@@ -217,6 +292,9 @@ class PhysicsEngine:
             point_mask[i, :n] = True
             radius[i] = body["radius"]
             half_extents[i] = body["half_extents"]
+            if body.get("plane_n") is not None:
+                plane_n[i] = body["plane_n"]
+                plane_d[i] = body["plane_d"]
 
         params = rb.RigidBodyParams(
             inv_mass=jnp.asarray(inv_mass),
@@ -228,6 +306,8 @@ class PhysicsEngine:
             restitution=jnp.asarray(restitution),
             body_mask=jnp.asarray(body_mask),
             half_extents=jnp.asarray(half_extents),
+            plane_n=jnp.asarray(plane_n),
+            plane_d=jnp.asarray(plane_d),
         )
         state0 = rb.RigidBodyState.rest(pos, rot)
         return params, state0
@@ -287,7 +367,7 @@ class PhysicsEngine:
         dyn = np.asarray(params.inv_mass) > 0
 
         def randomize(key, state):
-            qs = jax.random.uniform(key, (MAX_BODIES, 4))
+            qs = jax.random.uniform(key, (self.max_bodies, 4))
             qs = quat.normalize(qs)
             rot = jnp.where(jnp.asarray(dyn)[:, None], qs, state.rot)
             return state.replace(rot=rot)
@@ -299,7 +379,8 @@ class PhysicsEngine:
         traj, _ = rb.simulate_batch(
             params_b, states, n_steps=self.simulation_steps,
             dt=self.dt, gravity=self.gravity,
-        )  # note: batch path uses the flat-plane ground for now
+            heightfield=self.heightfield,
+        )  # same relief-aware ground contact as the sequential path
         return np.asarray(traj.pos), np.asarray(
             jnp.roll(traj.rot, -1, axis=-1)
         )

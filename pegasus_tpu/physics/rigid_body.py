@@ -70,7 +70,9 @@ class RigidBodyParams:
     friction: jnp.ndarray  # [B]
     restitution: jnp.ndarray  # [B]
     body_mask: jnp.ndarray  # [B] bool: body exists (padding support)
-    half_extents: jnp.ndarray = None  # [B, 3] box collision proxy (pairs)
+    half_extents: jnp.ndarray = None  # [B, 3] box fallback for hull planes
+    plane_n: jnp.ndarray = None  # [B, H, 3] convex-hull facet normals (body)
+    plane_d: jnp.ndarray = None  # [B, H] facet offsets: inside iff n.x <= d
 
     def __post_init__(self):
         if self.half_extents is None:
@@ -82,6 +84,23 @@ class RigidBodyParams:
                     (self.radius / jnp.sqrt(3.0))[:, None],
                     self.radius.shape + (3,),
                 ),
+            )
+        if self.plane_n is None:
+            # box half-space set from half_extents (6 axis-aligned facets) —
+            # the general pair narrow phase is point-vs-convex-hull; a box
+            # is just the 6-plane special case (Bullet's loadURDF similarly
+            # collides the convex hull of the URDF mesh)
+            he = jnp.asarray(self.half_extents, jnp.float32)
+            eye = jnp.eye(3, dtype=jnp.float32)
+            n = jnp.concatenate([eye, -eye], axis=0)  # [6, 3]
+            b = he.shape[0]
+            object.__setattr__(
+                self, "plane_n", jnp.broadcast_to(n[None], (b, 6, 3))
+            )
+            object.__setattr__(
+                self,
+                "plane_d",
+                jnp.concatenate([he, he], axis=-1),  # [B, 6]
             )
 
 
@@ -167,14 +186,17 @@ def _pair_contacts(
     baumgarte: float,
     margin: float = 4e-3,
 ):
-    """Object-object contacts: body i's collision points vs body j's box.
+    """Object-object contacts: body i's collision points vs body j's
+    convex hull (half-space set).
 
-    Points-in-OBB narrow phase (bounding spheres gate the pairs): each of
-    i's contact points is tested inside j's oriented box; penetration is
-    the minimum face distance and the contact normal is that face's world
-    axis.  Impulses (normal + Baumgarte bias) apply equal-and-opposite to
-    both bodies with full angular terms — boxes can rest ON each other,
-    which the round-1 sphere proxy could not express.
+    Point-vs-hull narrow phase (bounding spheres gate the pairs): each of
+    i's contact points is tested against j's hull planes; penetration is
+    the minimum facet distance and the contact normal is that facet's
+    world normal.  Boxes are the 6-plane special case; URDF meshes carry
+    their real hull facets, so concave-ish objects (bowl, pitcher, drill)
+    rest against their hull like Bullet's loadURDF convex collision
+    (reference: physical_simulation.py:77).  Impulses (normal + Baumgarte
+    bias) apply equal-and-opposite to both bodies with full angular terms.
 
     Returns (dv [B,3], dw [B,3]).
     """
@@ -196,24 +218,27 @@ def _pair_contacts(
     # i's points in j's local frame: [B_i, B_j, P, 3]
     rel = x[:, None, :, :] - state.pos[None, :, None, :]
     p_local = jnp.einsum("jab,ijpa->ijpb", R, rel)  # R_j^T @ rel
-    # collision margin (Bullet keeps a similar shell): contacts activate
-    # inside an inflated box so exactly-touching faces (e.g. aligned
-    # stacked boxes whose corners ride the other box's boundary) resolve
-    he = params.half_extents[None, :, None, :] + margin  # [1, B_j, 1, 3]
-    face_pen = he - jnp.abs(p_local)  # [B_i, B_j, P, 3]
-    inside = jnp.all(face_pen > 0.0, axis=-1) & pair_ok[:, :, None]
+    # signed distance to each hull facet of j, with a margin shell
+    # (Bullet keeps a similar shell) so exactly-touching faces resolve:
+    # inside iff n_h . p <= d_h + margin for ALL facets
+    facet_pen = (
+        (params.plane_d + margin)[None, :, None, :]
+        - jnp.einsum("jha,ijpa->ijph", params.plane_n, p_local)
+    )  # [B_i, B_j, P, H]
+    inside = jnp.all(facet_pen > 0.0, axis=-1) & pair_ok[:, :, None]
     inside = inside & params.point_mask[:, None, :]
-    depth = jnp.min(face_pen, axis=-1)  # [B_i, B_j, P] (incl. margin shell)
-    axis = jnp.argmin(face_pen, axis=-1)
-    sign = jnp.sign(
-        jnp.take_along_axis(p_local, axis[..., None], axis=-1)[..., 0]
-    )
-    # world normal = sign * column `axis` of R_j, pointing from j toward i
-    n = jnp.take_along_axis(
-        jnp.swapaxes(R, 1, 2)[None, :, None, :, :],  # rows = columns of R_j
-        axis[..., None, None].repeat(3, -1),
+    depth = jnp.min(facet_pen, axis=-1)  # [B_i, B_j, P] (incl. margin shell)
+    h_star = jnp.argmin(facet_pen, axis=-1)  # nearest facet index
+    n_local = jnp.take_along_axis(
+        jnp.broadcast_to(
+            params.plane_n[None, :, None, :, :],
+            facet_pen.shape + (3,),
+        ),
+        h_star[..., None, None].repeat(3, -1),
         axis=-2,
-    )[..., 0, :] * sign[..., None]  # [B_i, B_j, P, 3]
+    )[..., 0, :]  # [B_i, B_j, P, 3] outward facet normal in j's frame
+    # world normal points from j toward i (outward from j's hull)
+    n = jnp.einsum("jab,ijpb->ijpa", R, n_local)
 
     # contact-point velocities
     r_i = r_arm[:, None, :, :]  # arm on i

@@ -1,0 +1,150 @@
+"""Quantitative cross-check against the reference's RECORDED Bullet run.
+
+The reference ships one real physics fixture:
+``src/engine/simulation_steps.json`` — Bullet simulating CupNoodle04
+dropped onto the Asphalt environment for 4000 recorded steps with
+gravity (0,0,-50) (physical_simulation.py:47).  The fixture's fall
+profile shows it was recorded at dt=5 ms with one unrecorded leading
+step (ddz = g*dt^2 = 1.25e-3 and dz_0 = 2*g*dt^2), predating the current
+reference code's 1 ms timestep (physical_simulation.py:115-116).  This
+test reproduces the scenario shape (flat env + a cup-noodle-scale
+truncated cone released from the RECORDED start pose) with the JAX
+stepper and asserts agreement at the levels BASELINE.md requires:
+
+  * the free-fall phase is integrator-exact (same dt/gravity as Bullet's
+    semi-implicit Euler), so early z(t) must match tightly;
+  * the rest HEIGHT agrees within tolerance (the cup ends lying/tilted
+    at a geometry-determined height);
+  * the rest pose is horizontal-near the drop point (Bullet's cup drifts
+    ~1.5 cm while tumbling) and the body has settled.
+
+Step-for-step equality after first contact is NOT expected — tumbling is
+chaotic and Bullet's LCP solver differs — rest statistics are the parity
+contract (SURVEY section 7 hard parts).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pegasus_tpu.physics import rigid_body as rb
+
+FIXTURE = Path("/root/reference/src/engine/simulation_steps.json")
+
+# cup-noodle container proxy: truncated cone, bottom r=0.034, top r=0.048,
+# height 0.083 (the recorded upside-down resting height 0.0414 = h/2)
+R_BOT, R_TOP, HEIGHT = 0.034, 0.048, 0.083
+
+
+def _cup_params(n_bodies=2, mass=0.08):
+    zs = np.array([-HEIGHT / 2, HEIGHT / 2])
+    rs = np.array([R_BOT, R_TOP])
+    ang = np.linspace(0, 2 * np.pi, 16, endpoint=False)
+    rings = [
+        np.stack([r * np.cos(ang), r * np.sin(ang), np.full_like(ang, z)], 1)
+        for z, r in zip(zs, rs)
+    ]
+    caps = np.array([[0, 0, -HEIGHT / 2], [0, 0, HEIGHT / 2]])
+    pts = np.concatenate(rings + [caps], axis=0)
+    P = len(pts)
+    points = np.zeros((n_bodies, P, 3), np.float32)
+    point_mask = np.zeros((n_bodies, P), bool)
+    points[1] = pts
+    point_mask[1] = True
+    # solid truncated-cone inertia approximated by a cylinder of mean radius
+    rm = 0.5 * (R_BOT + R_TOP)
+    ixx = mass * (3 * rm**2 + HEIGHT**2) / 12.0
+    izz = mass * rm**2 / 2.0
+    inv_inertia = np.zeros((n_bodies, 3), np.float32)
+    inv_inertia[1] = 1.0 / np.array([ixx, ixx, izz])
+    inv_mass = np.array([0.0, 1.0 / mass], np.float32)
+    return rb.RigidBodyParams(
+        inv_mass=jnp.asarray(inv_mass),
+        inv_inertia=jnp.asarray(inv_inertia),
+        points=jnp.asarray(points),
+        point_mask=jnp.asarray(point_mask),
+        radius=jnp.asarray(
+            np.full(n_bodies, float(np.linalg.norm(pts, axis=1).max()))
+        ),
+        friction=jnp.full((n_bodies,), 0.5),
+        restitution=jnp.zeros((n_bodies,)),
+        body_mask=jnp.ones((n_bodies,), bool),
+        half_extents=jnp.asarray(
+            np.tile([R_TOP, R_TOP, HEIGHT / 2], (n_bodies, 1)).astype(
+                np.float32
+            )
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def bullet_run():
+    if not FIXTURE.exists():
+        pytest.skip("reference fixture not available")
+    d = json.loads(FIXTURE.read_text())
+    steps = sorted(d["trajectory"]["1"], key=int)
+    t = np.array([d["trajectory"]["1"][s]["t"] for s in steps])
+    q = np.array([d["trajectory"]["1"][s]["q"] for s in steps])  # xyzw
+    return t, q
+
+
+DT_FIXTURE = 0.005  # recovered from the fixture's fall profile
+
+
+@pytest.fixture(scope="module")
+def jax_run(bullet_run):
+    t_ref, q_ref = bullet_run
+    params = _cup_params()
+    pos0 = np.zeros((2, 3), np.float32)
+    pos0[1] = t_ref[0]
+    # start from the pose BEFORE the unrecorded leading step: record k
+    # aligns with simulated step k+1
+    pos0[1, 2] = t_ref[0, 2] + 50.0 * DT_FIXTURE**2
+    rot0 = np.tile([1.0, 0, 0, 0], (2, 1)).astype(np.float32)
+    rot0[1] = np.roll(q_ref[0], 1)  # xyzw -> wxyz
+    state0 = rb.RigidBodyState.rest(pos0, rot0)
+    traj, final = rb.simulate(
+        params, state0, n_steps=len(t_ref) + 1, dt=DT_FIXTURE,
+        gravity=(0, 0, -50.0),
+    )
+    # traj.pos[k] is simulated step k+1, which aligns with record k
+    pos = np.asarray(traj.pos[: len(t_ref), 1])
+    return pos, np.asarray(final.linvel[1]), np.asarray(final.angvel[1])
+
+
+def test_free_fall_matches_bullet(bullet_run, jax_run):
+    """Before first contact the two integrators must agree step-for-step
+    (same dt, same gravity, both semi-implicit Euler; small residual from
+    differing air-damping defaults)."""
+    t_ref, _ = bullet_run
+    pos, _, _ = jax_run
+    # contact happens around record 27 (z ~ 0.1); compare the pure fall
+    err = np.abs(pos[:24, 2] - t_ref[:24, 2])
+    assert err.max() < 6e-3, f"free-fall z diverges: max {err.max():.4f} m"
+
+
+def test_rest_height_matches_bullet(bullet_run, jax_run):
+    t_ref, _ = bullet_run
+    pos, _, _ = jax_run
+    z_rest_ref = t_ref[-1, 2]  # 0.0613 (tilted rest)
+    z_rest = pos[-1, 2]
+    # geometry-determined band: the cup must rest ON the plane — between
+    # lying (~mean radius) and rim-tilted (~0.07); Bullet recorded 0.0613
+    assert 0.030 < z_rest < 0.080, f"rest z {z_rest:.4f} outside cup band"
+    assert abs(z_rest - z_rest_ref) < 0.025, (
+        f"rest height |{z_rest:.4f} - {z_rest_ref:.4f}| >= 2.5 cm"
+    )
+
+
+def test_rest_position_near_bullet(bullet_run, jax_run):
+    t_ref, _ = bullet_run
+    pos, linvel, angvel = jax_run
+    drift = np.linalg.norm(pos[-1, :2] - t_ref[-1, :2])
+    assert drift < 0.15, f"horizontal rest drift {drift:.3f} m vs Bullet"
+    # settled (Bullet's own recording still moves ~0.06 m/s at the end)
+    assert np.linalg.norm(linvel) < 0.25
+    # no tunneling at any time
+    assert pos[:, 2].min() > 0.0
