@@ -10,9 +10,10 @@ can be validated without the external dependency:
   mssd       — maximum symmetry-aware surface distance;
   mspd       — maximum symmetry-aware projection distance;
   re / te    — rotation (deg) / translation errors;
+  vsd        — visible surface discrepancy over a native z-buffer mesh
+               depth renderer (the one metric the reference could only
+               score through bop_toolkit's C++ renderer);
   check_bop_dataset — structural validation of a generated BOP tree.
-
-(vsd needs a depth renderer; use render + our depth output or bop_toolkit.)
 """
 
 from __future__ import annotations
@@ -83,6 +84,132 @@ def re(R_est, R_gt) -> float:
 
 def te(t_est, t_gt) -> float:
     return float(np.linalg.norm(np.asarray(t_est) - np.asarray(t_gt)))
+
+
+# ---------------------------------------------------------------------------
+# vsd — Visible Surface Discrepancy (BOP'19), natively.
+# The reference defers this one metric to bop_toolkit's C++ renderer
+# (bop_toolkit_lib/pose_error.py:17); here the model depth is rendered by a
+# small z-buffer mesh rasterizer so eval.py is a complete BOP19 scorer.
+# ---------------------------------------------------------------------------
+
+
+def render_mesh_depth(mesh, R, t, K, width: int, height: int) -> np.ndarray:
+    """Z-buffer depth image (meters*input-units, 0 = background) of a
+    TriMesh posed by x_cam = R x + t and projected by K."""
+    K = np.asarray(K, np.float64)
+    cam = _transform(R, t, mesh.vertices)  # [V, 3]
+    z = cam[:, 2]
+    uv = cam @ K.T
+    uv = uv[:, :2] / np.maximum(uv[:, 2:3], 1e-12)
+
+    depth = np.zeros((height, width), np.float64)
+    zbuf = np.full((height, width), np.inf)
+    tris = mesh.faces
+    for f in range(len(tris)):
+        i0, i1, i2 = tris[f]
+        if z[i0] <= 1e-6 or z[i1] <= 1e-6 or z[i2] <= 1e-6:
+            continue
+        p0, p1, p2 = uv[i0], uv[i1], uv[i2]
+        x_min = max(int(np.floor(min(p0[0], p1[0], p2[0]))), 0)
+        x_max = min(int(np.ceil(max(p0[0], p1[0], p2[0]))) + 1, width)
+        y_min = max(int(np.floor(min(p0[1], p1[1], p2[1]))), 0)
+        y_max = min(int(np.ceil(max(p0[1], p1[1], p2[1]))) + 1, height)
+        if x_min >= x_max or y_min >= y_max:
+            continue
+        xs, ys = np.meshgrid(
+            np.arange(x_min, x_max) + 0.5, np.arange(y_min, y_max) + 0.5
+        )
+        d = (p1[0] - p0[0]) * (p2[1] - p0[1]) - (p2[0] - p0[0]) * (p1[1] - p0[1])
+        if abs(d) < 1e-12:
+            continue
+        w1 = ((xs - p0[0]) * (p2[1] - p0[1]) - (p2[0] - p0[0]) * (ys - p0[1])) / d
+        w2 = ((p1[0] - p0[0]) * (ys - p0[1]) - (xs - p0[0]) * (p1[1] - p0[1])) / d
+        w0 = 1.0 - w1 - w2
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        if not inside.any():
+            continue
+        # perspective-correct depth: interpolate 1/z
+        zi = 1.0 / (w0 / z[i0] + w1 / z[i1] + w2 / z[i2])
+        patch_z = zbuf[y_min:y_max, x_min:x_max]
+        upd = inside & (zi < patch_z)
+        patch_z[upd] = zi[upd]
+        depth_patch = depth[y_min:y_max, x_min:x_max]
+        depth_patch[upd] = zi[upd]
+    return depth
+
+
+def depth_to_dist(depth: np.ndarray, K) -> np.ndarray:
+    """Depth (z) image -> distance-from-camera-center image
+    (bop_toolkit misc.depth_im_to_dist_im_fast semantics)."""
+    K = np.asarray(K, np.float64)
+    h, w = depth.shape
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    Xs = (xs - K[0, 2]) / K[0, 0]
+    Ys = (ys - K[1, 2]) / K[1, 1]
+    return np.sqrt((Xs * depth) ** 2 + (Ys * depth) ** 2 + depth.astype(np.float64) ** 2)
+
+
+def _visib_mask(d_test, d_model, delta, mode="bop19"):
+    """bop_toolkit visibility._estimate_visib_mask semantics."""
+    d_diff = d_model.astype(np.float32) - d_test.astype(np.float32)
+    if mode == "bop18":
+        return (d_diff <= delta) & (d_test > 0) & (d_model > 0)
+    if mode == "bop19":
+        return ((d_diff <= delta) | (d_test == 0)) & (d_model > 0)
+    raise ValueError(f"unknown visibility mode {mode}")
+
+
+def vsd(
+    R_est, t_est, R_gt, t_gt,
+    depth_test: np.ndarray,
+    K,
+    delta: float,
+    taus,
+    normalized_by_diameter: bool,
+    diameter: float,
+    mesh,
+    cost_type: str = "step",
+    visib_mode: str = "bop19",
+):
+    """Visible Surface Discrepancy (bop_toolkit pose_error.vsd:17-95).
+
+    depth_test and the mesh must share units (BOP: millimeters).  Returns
+    one error per tau in ``taus``.
+    """
+    h, w = depth_test.shape
+    depth_est = render_mesh_depth(mesh, R_est, t_est, K, w, h)
+    depth_gt = render_mesh_depth(mesh, R_gt, t_gt, K, w, h)
+
+    dist_test = depth_to_dist(depth_test, K)
+    dist_gt = depth_to_dist(depth_gt, K)
+    dist_est = depth_to_dist(depth_est, K)
+
+    visib_gt = _visib_mask(dist_test, dist_gt, delta, visib_mode)
+    visib_est = _visib_mask(dist_test, dist_est, delta, visib_mode)
+    visib_est = visib_est | (visib_gt & (dist_est > 0))
+
+    visib_inter = visib_gt & visib_est
+    visib_union = visib_gt | visib_est
+    union_count = int(visib_union.sum())
+    comp_count = union_count - int(visib_inter.sum())
+
+    dists = np.abs(dist_gt[visib_inter] - dist_est[visib_inter])
+    if normalized_by_diameter:
+        dists = dists / diameter
+
+    if union_count == 0:
+        return [1.0] * len(taus)
+    errors = []
+    for tau in taus:
+        if cost_type == "step":
+            costs = (dists >= tau).astype(np.float64)
+        elif cost_type == "tlinear":
+            costs = np.minimum(dists / tau, 1.0)
+        else:
+            raise ValueError(f"unknown cost type {cost_type}")
+        errors.append(float((costs.sum() + comp_count) / union_count))
+    return errors
 
 
 # ---------------------------------------------------------------------------

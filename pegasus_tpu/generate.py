@@ -44,7 +44,14 @@ def run_generation(
     env_list: List[Asset],
     obj_list: List[Asset],
     pegasus: Optional[PEGASUS] = None,
+    mesh=None,
 ) -> SceneStats:
+    if mesh is not None:
+        # scene-data-parallel path: batches of mesh-size scenes run as one
+        # sharded XLA program (pegasus_tpu/parallel/generation.py)
+        from pegasus_tpu.parallel.generation import run_generation_sharded
+
+        return run_generation_sharded(config, env_list, obj_list, mesh=mesh)
     out_root = Path(config.dataset_base_path)
     dataset_dir = out_root / config.dataset_name
     dataset_dir.mkdir(parents=True, exist_ok=True)

@@ -125,8 +125,66 @@ class ReconstructionAlignment:
                 self.points, self.sparse_dir / "points3D.bin"
             )
 
-    def visualize(self, add_object=None, coord_system: bool = False):
-        raise NotImplementedError(
-            "interactive visualization is intentionally out of scope; "
-            "use the turntable renderer in pegasus_tpu.viewer instead"
-        )
+    def visualize(
+        self,
+        add_object=None,
+        coord_system: bool = False,
+        save_path=None,
+        show: bool = False,
+    ):
+        """Diagnostic view of the aligned reconstruction (the reference's
+        open3d window, data_alignment contract at
+        environment_reconstruction.py:61-66) — headless-first: sparse
+        points, fitted plane and camera centers are drawn with matplotlib
+        and saved to ``save_path`` (default: <sparse_dir>/alignment.png).
+        Set show=True for an interactive window where a display exists.
+        Returns the saved path."""
+        import matplotlib
+
+        if not show:
+            matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+
+        if self.points:
+            xyz = np.stack([p.xyz for p in self.points.values()])
+            rgb = np.stack(
+                [getattr(p, "rgb", np.array([128, 128, 128]))
+                 for p in self.points.values()]
+            ).astype(np.float32) / 255.0
+            step = max(1, len(xyz) // 20_000)
+            ax.scatter(*xyz[::step].T, c=rgb[::step], s=1, alpha=0.6)
+
+        centers = []
+        for im in self.images.values():
+            R_w2c = qvec2rotmat(im.qvec)
+            centers.append(-R_w2c.T @ np.asarray(im.tvec))
+        if centers:
+            centers = np.stack(centers)
+            ax.scatter(*centers.T, c="tab:red", s=14, marker="^",
+                       label="cameras")
+
+        if getattr(self, "plane_mesh", None) is not None:
+            verts, _ = self.plane_mesh
+            quad = np.vstack([verts, verts[:1]])
+            ax.plot(*quad.T, c="tab:blue", label="fitted plane (z=0)")
+
+        if coord_system:
+            for axis, color in zip(np.eye(3) * 0.3, ("r", "g", "b")):
+                ax.plot([0, axis[0]], [0, axis[1]], [0, axis[2]], c=color)
+
+        if add_object is not None and hasattr(add_object, "vertices"):
+            v = np.asarray(add_object.vertices)
+            step = max(1, len(v) // 5000)
+            ax.scatter(*v[::step].T, c="tab:green", s=2, label="object")
+
+        ax.set_xlabel("x"), ax.set_ylabel("y"), ax.set_zlabel("z")
+        ax.legend(loc="upper right")
+        path = Path(save_path) if save_path else self.sparse_dir / "alignment.png"
+        if show:
+            plt.show()
+        fig.savefig(path, dpi=110)
+        plt.close(fig)
+        return path

@@ -18,6 +18,9 @@ def refit_setup():
         rng, n=400, half_extents=(0.08, 0.08, 0.1), rgb=(0.7, 0.3, 0.2),
         object_id=0,
     )
+    render = jax.jit(
+        lambda cl, c: rasterize_reference(cl, c, max_objects=1, chunk=512)
+    )
     cams, gts = [], []
     for az in np.linspace(0, 2 * np.pi, 8, endpoint=False):
         eye = (0.5 * np.cos(az), 0.5 * np.sin(az), 0.35)
@@ -25,9 +28,8 @@ def refit_setup():
             eye=eye, target=(0, 0, 0), up=(0, 0, 1),
             fovx=np.deg2rad(50), fovy=np.deg2rad(50), width=48, height=48,
         )
-        out = rasterize_reference(gt_cloud, cam, max_objects=1, chunk=512)
         cams.append(cam)
-        gts.append(jnp.clip(out.rgb, 0, 1))
+        gts.append(jnp.clip(render(gt_cloud, cam).rgb, 0, 1))
     return gt_cloud, cams, gts
 
 
