@@ -35,13 +35,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_FPS = 4.0
 
 
-def _parity_gate(scene, cam):
+def _parity_gate(scene):
     """Compiled-backend parity vs the golden compositor (BASELINE: >40 dB).
 
     Runs on whatever backend jax selected — on TPU this gates the MOSAIC-
-    compiled Pallas kernel, which interpret-mode tests cannot see."""
+    compiled Pallas kernel, which interpret-mode tests cannot see.  The
+    gate renders the full 210k-splat scene at 320x240 (the golden
+    compositor is O(pixels x splats); quarter resolution keeps the gate
+    under a minute without changing what is being compared)."""
+    from pegasus_tpu.camera import Camera
     from pegasus_tpu.ops.validate import compare_backends
 
+    cam = Camera.look_at(
+        eye=(0.9, 0.7, 0.9), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(60), fovy=np.deg2rad(47), width=320, height=240,
+    )
     report = compare_backends(scene, cam, max_objects=8)
     worst = min(v for k, v in report.items() if k.endswith("_psnr_db"))
     return round(float(worst), 2), report
@@ -77,7 +85,7 @@ def _scenes_per_hour():
             Asset(OBJECT_NAME="cup_noodles_04", ID=104, dataset_path=data),
             Asset(OBJECT_NAME="cup_noodles_07", ID=107, dataset_path=data),
         ]
-        n_interp = 5  # 10 cams x 5 = 50 timed frames, extrapolated x6
+        n_interp = 3  # 10 cams x 3 = 30 timed frames, extrapolated x10
         pegasus = PEGASUS(
             dataset_path=data, env_dataset_path=data,
             urdf_asset_folder=os.path.join(data, "urdf"),
@@ -179,7 +187,7 @@ def main():
 
     print(f"[bench] fps={fps:.1f}; running parity gate...", file=sys.stderr)
     try:
-        line["pallas_parity_db"], parity_report = _parity_gate(scene, cam)
+        line["pallas_parity_db"], parity_report = _parity_gate(scene)
     except Exception as e:  # noqa: BLE001 — parity failure must be visible
         line["pallas_parity_db"] = None
         line["parity_error"] = f"{type(e).__name__}: {e}"

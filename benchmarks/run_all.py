@@ -239,23 +239,32 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="benchmark_report.json")
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--configs", default="1,2,3,4,5",
+        help="comma-separated subset to run; results merge into --out",
+    )
     args = parser.parse_args(argv)
 
     import jax
 
     rng = np.random.default_rng(7)
     iters = 2 if args.quick else 10
-    report = {
-        "backend": jax.default_backend(),
-        "devices": len(jax.devices()),
-    }
-    for name, fn in [
-        ("config1_static_scene", lambda: bench_static_scene(rng, max(1, iters // 5))),
-        ("config2_physics_placement", lambda: bench_physics_placement(rng)),
-        ("config3_dynamic_hd", lambda: bench_dynamic_hd(rng, iters)),
-        ("config4_batch", lambda: bench_batch(rng, iters)),
-        ("config5_variants", lambda: bench_variants(rng, 8 if args.quick else 64)),
+    report = {}
+    if os.path.exists(args.out):  # merge partial runs
+        with open(args.out) as f:
+            report = json.load(f)
+    report["backend"] = jax.default_backend()
+    report["devices"] = len(jax.devices())
+    selected = {int(s) for s in args.configs.split(",") if s}
+    for num, name, fn in [
+        (1, "config1_static_scene", lambda: bench_static_scene(rng, max(1, iters // 5))),
+        (2, "config2_physics_placement", lambda: bench_physics_placement(rng)),
+        (3, "config3_dynamic_hd", lambda: bench_dynamic_hd(rng, iters)),
+        (4, "config4_batch", lambda: bench_batch(rng, iters)),
+        (5, "config5_variants", lambda: bench_variants(rng, 8 if args.quick else 64)),
     ]:
+        if num not in selected:
+            continue
         t0 = time.time()
         try:
             report[name] = fn()
@@ -263,6 +272,8 @@ def main(argv=None):
         except Exception as e:  # noqa: BLE001 — report, don't die
             report[name] = {"error": f"{type(e).__name__}: {e}"}
         print(name, json.dumps(report[name]))
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
