@@ -163,17 +163,16 @@ def bench_batch(rng, iters):
     import jax
 
     fn = jax.jit(_render_fn())
-    combos = 0
-    t0 = None
-    out = None
+    scenes = []
     for e in range(2 if iters > 1 else 1):
         scene = _scene(rng, n_env=120_000 + 30_000 * e, n_objects=6)
         cam = _cam(640, 480, az=0.5 + e)
-        r = fn(scene, cam)
-        _sync(r)  # includes compile for new shapes
-        if t0 is None:
-            t0 = time.time()
-            counted_from = time.time()
+        _sync(fn(scene, cam))  # compile every shape BEFORE the clock
+        scenes.append((scene, cam))
+    combos = 0
+    out = None
+    t0 = time.time()
+    for scene, cam in scenes:
         for _ in range(iters):
             out = fn(scene, cam)
             combos += 1
