@@ -132,16 +132,21 @@ def bin_splats(
 
     def core_window(s_tx0, s_ty0, s_w, s_h, s_mx, s_my):
         """The <= a_small tile window every splat gets from the small
-        bucket: its full bbox when it fits, else a core_w x core_h window
-        around the mean tile.  Deterministic per splat, so the big bucket
-        can exclude exactly this region (no double emission)."""
+        bucket: its full bbox when it fits, else a core window around the
+        mean tile, ORIENTED along the splat's longer bbox side (a 2-slot
+        window covering a horizontal boundary crossing must be 2x1, not
+        1x2).  Deterministic per splat, so the big bucket can exclude
+        exactly this region (no double emission)."""
         over = (s_w * s_h) > a_small
+        wide = s_w >= s_h  # orient the core along the crossing direction
+        o_w = jnp.where(wide, jnp.int32(core_h), jnp.int32(core_w))
+        o_h = jnp.where(wide, jnp.int32(core_w), jnp.int32(core_h))
         cw = jnp.clip(jnp.floor(s_mx / tile), 0, ntx - 1).astype(jnp.int32)
         ch = jnp.clip(jnp.floor(s_my / tile), 0, nty - 1).astype(jnp.int32)
-        c_tx0 = jnp.where(over, jnp.clip(cw - core_w // 2, 0, ntx - 1), s_tx0)
-        c_ty0 = jnp.where(over, jnp.clip(ch - core_h // 2, 0, nty - 1), s_ty0)
-        c_w = jnp.where(over, jnp.minimum(core_w, ntx - c_tx0), s_w)
-        c_h = jnp.where(over, jnp.minimum(core_h, nty - c_ty0), s_h)
+        c_tx0 = jnp.where(over, jnp.clip(cw - o_w // 2, 0, ntx - 1), s_tx0)
+        c_ty0 = jnp.where(over, jnp.clip(ch - o_h // 2, 0, nty - 1), s_ty0)
+        c_w = jnp.where(over, jnp.minimum(o_w, ntx - c_tx0), s_w)
+        c_h = jnp.where(over, jnp.minimum(o_h, nty - c_ty0), s_h)
         return c_tx0, c_ty0, c_w, c_h
 
     # -- small bucket: EVERY splat emits its core window ----------------------
