@@ -47,6 +47,8 @@ class PEGASUS:
 
     LOAD_ITERATION: int = 30_000
     SH_DEGREE: int = 3
+    IP: str = "127.0.0.1"
+    PORT: int = 6009
 
     def __init__(
         self,
@@ -69,7 +71,7 @@ class PEGASUS:
         rasterize_fn=None,
         unit_scale: float = 1000.0,
         QUIET: bool = False,
-        publish2gui: bool = False,  # accepted for API parity (no SIBR socket)
+        publish2gui: bool = False,  # serve frames to a SIBR viewer (TCP)
     ):
         self.dataset_path = dataset_path
         self.env_dataset_path = env_dataset_path or dataset_path
@@ -87,6 +89,13 @@ class PEGASUS:
         self.rng = np.random.default_rng(seed)
         self.splat_budget = splat_budget
         self.unit_scale = unit_scale
+        self.publish2gui = publish2gui
+        if publish2gui:
+            # SIBR remote-viewer socket, same wire protocol as the
+            # reference (pegasus.py:84-86; pegasus_tpu/network_gui.py)
+            from pegasus_tpu import network_gui
+
+            network_gui.init(self.IP, self.PORT)
         self.rasterize_fn = rasterize_fn
         self.QUIET = QUIET
 
@@ -296,6 +305,54 @@ class PEGASUS:
             template, body_R, body_t, cam, self._semantic_colors_dev
         )
 
+    def _serve_gui(self, body_R, body_t) -> None:
+        """Answer one pending SIBR viewer request, non-blocking (the
+        reference's per-frame network_gui loop, pegasus.py:249-279)."""
+        import socket
+
+        from pegasus_tpu import network_gui as ng
+
+        if ng.listener is None:
+            return
+        if ng.conn is None:
+            ng.try_connect()
+            if ng.conn is None:
+                return
+        try:
+            ng.conn.settimeout(0.05)
+            cam, _, _, _, _, scaling = ng.receive()
+            ng.conn.settimeout(None)
+            img_bytes = None
+            if cam is not None:
+                scene = pose_scene(self.template, body_R, body_t)
+                frame = render_frame(
+                    scene, cam, self._semantic_colors_dev,
+                    background=self.background,
+                    rasterize_fn=self._gui_rasterize_fn,
+                )
+                img = np.clip(np.asarray(frame.rgb), 0.0, 1.0)
+                img_bytes = (img * 255).astype(np.uint8).tobytes()
+            ng.send(img_bytes, self.dataset_path)
+        except (socket.timeout, BlockingIOError):
+            try:
+                ng.conn.settimeout(None)
+            except OSError:
+                ng.conn = None
+        except Exception:
+            ng.conn = None
+
+    @functools.cached_property
+    def _gui_rasterize_fn(self):
+        if self.rasterize_fn is not None:
+            return self.rasterize_fn
+        if jax.default_backend() != "cpu":
+            from pegasus_tpu.ops.rasterize_pallas import rasterize_pallas
+
+            return rasterize_pallas
+        from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
+
+        return rasterize_tiled
+
     def generate_dataset(
         self,
         data_points: List[str],
@@ -335,6 +392,8 @@ class PEGASUS:
                 inflight.append(dispatch(next_i))
                 next_i += 1
             data = unpack_frame_bytes(fut.result(), n_objects)
+            if self.publish2gui:
+                self._serve_gui(body_R, body_t)
 
             rgb_u8 = data["rgb_u8"]
             depth = data["depth_m"]

@@ -314,9 +314,70 @@ class PhysicsEngine:
 
     # -- simulation ----------------------------------------------------------------
 
-    def simulate(self, write_json: bool = True) -> Trajectory:
+    def render_debug_camera(
+        self,
+        trajectory: Trajectory,
+        every: int = 10,
+        size: int = 128,
+        out_dir=None,
+    ) -> "np.ndarray":
+        """Debug-camera frames of the simulation (the reference renders a
+        128x128 ``p.getCameraImage`` EVERY step, physical_simulation.py:
+        99-133; here it is opt-in and decoupled from stepping).
+
+        Splats each body's collision points into a [T/every, size, size]
+        grayscale z-buffer image from a fixed diagonal viewpoint; frames
+        are optionally written as PNGs next to the trajectory JSON.
+        """
+        from pegasus_tpu.utils.pose import qvec2rotmat
+
+        times_t = np.asarray(trajectory.times_t)  # [B, T, 3]
+        times_q = np.asarray(trajectory.times_q)  # [B, T, 4] xyzw
+        n_bodies, n_steps = times_t.shape[:2]
+        steps = range(0, n_steps, max(1, every))
+
+        eye = np.array([0.8, 0.8, 0.6])
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, [0, 0, 1.0])
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        f = size  # ~53 deg fov
+
+        frames = np.zeros((len(steps), size, size), np.uint8)
+        for fi, t in enumerate(steps):
+            pts_w = []
+            for b, body in enumerate(self._bodies[:n_bodies]):
+                q = np.roll(times_q[b, t], 1)  # xyzw -> wxyz (qvec order)
+                R = qvec2rotmat(q)
+                pts_w.append(body["points"] @ R.T + times_t[b, t])
+            pts = np.concatenate(pts_w, axis=0) - eye
+            cam = np.stack([pts @ right, pts @ up, pts @ fwd], axis=1)
+            z = cam[:, 2]
+            vis = z > 1e-3
+            u = (f * cam[vis, 0] / z[vis] + size / 2).astype(int)
+            v = (size / 2 - f * cam[vis, 1] / z[vis]).astype(int)
+            ok = (u >= 0) & (u < size) & (v >= 0) & (v < size)
+            shade = np.clip(255 - 120 * z[vis][ok], 40, 255).astype(np.uint8)
+            img = frames[fi]
+            np.maximum.at(img, (v[ok], u[ok]), shade)
+        if out_dir is not None:
+            from pegasus_tpu.io.png import write_png
+
+            out = Path(out_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            for fi in range(len(frames)):
+                write_png(out / f"debug_{fi:04d}.png", frames[fi])
+        return frames
+
+    def simulate(
+        self, write_json: bool = True, debug_camera: bool = False
+    ) -> Trajectory:
         """Run the drop and (like the reference, physical_simulation.py:98-170)
-        dump the {asset_infos, trajectory} JSON keyed by bullet body id."""
+        dump the {asset_infos, trajectory} JSON keyed by bullet body id.
+
+        debug_camera=True additionally writes 128x128 debug frames beside
+        the trajectory JSON (reference behavior: always-on per-step
+        getCameraImage; here opt-in, every 10th step)."""
         params, state0 = self._build()
         traj_states, _ = rb.simulate(
             params,
@@ -354,6 +415,12 @@ class PhysicsEngine:
         )
         if write_json:
             trajectory.to_json(self.trajectory_path)
+        if debug_camera:
+            self.render_debug_camera(
+                trajectory,
+                out_dir=self.trajectory_path.parent
+                / f"{self.trajectory_path.stem}_debug",
+            )
         return trajectory
 
     def simulate_variants(self, n_variants: int, seed: int = 0):
