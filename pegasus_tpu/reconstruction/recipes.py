@@ -52,12 +52,13 @@ def environment_reconstruction(
     if run_training:
         _train_gs(base, asset.gs_model_path, iterations=train_iterations)
 
-    gen = URDFGenerator(
-        asset.gs_o3d_point_cloud_path(train_iterations)
-        if run_training
-        else base,
-        object_type="environment",
-    )
+    o3d_ply = Path(asset.gs_o3d_point_cloud_path(train_iterations))
+    if not o3d_ply.exists():
+        raise FileNotFoundError(
+            f"no trained cloud at {o3d_ply}; run with run_training=True "
+            "or train the asset first"
+        )
+    gen = URDFGenerator(o3d_ply, object_type="environment")
     gen.generate(asset.urdf_obj_path, asset.urdf_file_path, alpha=asset.ALPHA)
 
 

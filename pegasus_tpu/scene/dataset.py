@@ -53,8 +53,16 @@ def load_colmap_scene(
         im = imgs[k]
         intr = cams[im.camera_id]
         fx, fy, _, _ = colmap_io.colmap_intrinsics(intr)
-        w = intr.width // downscale
-        h = intr.height // downscale
+        img_path = root / images_dir / im.name
+        arr = np.asarray(imageio.imread(img_path), np.float32) / 255.0
+        if downscale > 1:
+            arr = arr[::downscale, ::downscale]
+        images.append(arr[..., :3])
+        # render at the on-disk image size — images are often stored
+        # pre-downscaled relative to the COLMAP intrinsics (the
+        # reference's ImageMagick resize pyramid, convert.py:90-122);
+        # fov is resolution-invariant so only width/height change
+        h, w = arr.shape[:2]
         width, height = w, h
         cameras.append(
             Camera.from_colmap(
@@ -64,11 +72,6 @@ def load_colmap_scene(
                 width=w, height=h,
             )
         )
-        img_path = root / images_dir / im.name
-        arr = np.asarray(imageio.imread(img_path), np.float32) / 255.0
-        if downscale > 1:
-            arr = arr[::downscale, ::downscale]
-        images.append(arr[..., :3])
 
     centers = np.stack([np.asarray(c.camera_center) for c in cameras])
     extent = float(np.linalg.norm(centers - centers.mean(0), axis=1).max()) * 1.1

@@ -437,7 +437,7 @@ def train_gaussian_splatting_wrapper(
     import os
     from pathlib import Path
 
-    from pegasus_tpu.gs.ply import save_gs_ply
+    from pegasus_tpu.gs.ply import save_gs_ply, save_o3d_ply
     from pegasus_tpu.io import colmap as colmap_io
     from pegasus_tpu.scene.dataset import load_colmap_scene
 
@@ -469,4 +469,7 @@ def train_gaussian_splatting_wrapper(
         alive = np.asarray(state.cloud.alive)
         compact = jax.tree.map(lambda x: np.asarray(x)[alive], state.cloud)
         save_gs_ply(compact, str(out / "point_cloud.ply"))
+        # the reference's save_ply also writes the o3d companion cloud
+        # (gaussian_model.py:475-479) consumed by URDF meshing/alignment
+        save_o3d_ply(compact, str(out / "point_cloud_o3d.ply"))
     return state
