@@ -23,7 +23,6 @@ Call via ``run_generation(config, envs, objs, mesh=mesh)`` or directly:
 from __future__ import annotations
 
 import time
-from functools import partial
 from pathlib import Path
 from typing import List, Optional
 
@@ -152,21 +151,18 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
 
 
-@partial(jax.jit, static_argnames=("n_steps", "rasterize_fn"))
-def _batch_program(
-    template_b,
-    params_b,
-    state0_b,
-    hf_b,
-    cams_b,  # [S, F, ...] stacked Camera pytree
-    colors_b,  # [S, K, 3]
-    frame_steps,  # [F] int32 trajectory indices per frame
-    n_steps: int,
-    rasterize_fn,
-):
-    """S scenes x F frames in one program; scenes shard over the mesh."""
+def _make_batch_program(mesh, n_steps: int, rasterize_fn):
+    """S scenes x F frames as ONE program: the scene axis is sharded over
+    the mesh with shard_map, and each device iterates its LOCAL scenes
+    with lax.map — sequential per-scene iteration (a device renders one
+    frame at a time anyway) that keeps the Pallas kernel usable (it has
+    no vmap batching rule; under vmap only the XLA tiled backend would
+    compile)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
 
-    def one_scene(template, params, state0, hf, cams, colors):
+    def one_scene(args):
+        template, params, state0, hf, cams, colors, frame_steps = args
         traj, _ = rb.simulate(
             params, state0, n_steps=n_steps, heightfield=hf
         )
@@ -193,8 +189,27 @@ def _batch_program(
         )
         return packed, body_R, body_t, times_t, times_q
 
-    return jax.vmap(one_scene)(
-        template_b, params_b, state0_b, hf_b, cams_b, colors_b
+    def local_batch(template_b, params_b, state0_b, hf_b, cams_b,
+                    colors_b, frame_steps):
+        return jax.lax.map(
+            one_scene,
+            (
+                template_b, params_b, state0_b, hf_b, cams_b, colors_b,
+                jnp.broadcast_to(
+                    frame_steps, (colors_b.shape[0],) + frame_steps.shape
+                ),
+            ),
+        )
+
+    spec = P("scene")
+    return jax.jit(
+        shard_map(
+            local_batch,
+            mesh=mesh,
+            in_specs=(spec, spec, spec, spec, spec, spec, P()),
+            out_specs=spec,
+            check_rep=False,
+        )
     )
 
 
@@ -211,9 +226,14 @@ def run_generation_sharded(
     if config.splat_budget is None:
         raise ValueError("sharded generation requires config.splat_budget")
     if rasterize_fn is None:
-        from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
+        if jax.default_backend() != "cpu":
+            from pegasus_tpu.ops.rasterize_pallas import rasterize_pallas
 
-        rasterize_fn = rasterize_tiled
+            rasterize_fn = rasterize_pallas
+        else:
+            from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
+
+            rasterize_fn = rasterize_tiled
 
     n_dev = int(np.prod(list(mesh.shape.values())))
     out_root = Path(config.dataset_base_path)
@@ -260,6 +280,9 @@ def run_generation_sharded(
 
     stats = SceneStats(path=str(dataset_dir / "generation_stats.jsonl"))
     scene_ids = list(range(1, config.num_scenes + 1))
+    batch_program = _make_batch_program(
+        mesh, n_steps=config.simulation_steps, rasterize_fn=rasterize_fn
+    )
 
     for batch_start in range(0, len(scene_ids), n_dev):
         batch_ids = scene_ids[batch_start : batch_start + n_dev]
@@ -290,10 +313,9 @@ def run_generation_sharded(
         cams_b = shard_batch(cams_b, mesh, "scene")
         colors_b = shard_batch(colors_b, mesh, "scene")
 
-        packed, body_R, body_t, times_t, times_q = _batch_program(
+        packed, body_R, body_t, times_t, times_q = batch_program(
             template_b, params_b, state0_b, hf_b, cams_b, colors_b,
-            frame_steps, n_steps=config.simulation_steps,
-            rasterize_fn=rasterize_fn,
+            frame_steps,
         )
 
         k_max = config.max_num_objects
