@@ -213,6 +213,164 @@ def vsd(
 
 
 # ---------------------------------------------------------------------------
+# BOP19 scoring (the reference's scripts/eval_bop19_pose.py flow, natively)
+# ---------------------------------------------------------------------------
+
+
+def load_bop_results(path) -> list:
+    """Parse a BOP results CSV: scene_id,im_id,obj_id,score,R,t,time
+    (R = 9 space-separated floats row-major; t in millimeters)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("scene_id"):
+                continue
+            scene_id, im_id, obj_id, score, R, t, tm = line.split(",")
+            rows.append(
+                {
+                    "scene_id": int(scene_id),
+                    "im_id": int(im_id),
+                    "obj_id": int(obj_id),
+                    "score": float(score),
+                    "R": np.fromstring(R, sep=" ").reshape(3, 3),
+                    "t": np.fromstring(t, sep=" "),
+                    "time": float(tm),
+                }
+            )
+    return rows
+
+
+def score_bop19(
+    results_path,
+    dataset_root,
+    dataset_name: str,
+    split: str = "train",
+    vsd_delta: float = 15.0,
+    visib_gt_min: float = 0.1,
+    max_points: int = 1000,
+) -> dict:
+    """BOP-2019 Average Recall over vsd/mssd/mspd, natively.
+
+    Protocol per scripts/eval_bop19_pose.py:16-53: vsd with taus
+    0.05..0.5 (diameter-normalized, delta 15 mm) and thresholds
+    0.05..0.5; mssd thresholds 0.05..0.5 x diameter; mspd thresholds
+    5..50 px scaled by width/640.  AR = mean(AR_vsd, AR_mssd, AR_mspd).
+    Simplifications (documented): estimates are matched to GT instances
+    of the same obj_id greedily by score (the toolkit's full n_top
+    matching reduces to this for the single-instance scenes PEGASUS
+    emits), and symmetries default to identity.
+    """
+    import imageio.v2 as imageio
+
+    from pegasus_tpu.io.mesh import load_mesh
+
+    root = Path(dataset_root) / dataset_name
+    with open(root / "models" / "models_info.json") as f:
+        models_info = json.load(f)
+    meshes = {}
+    for mid in models_info:
+        p = root / "models" / f"obj_{int(mid):06d}.ply"
+        if p.exists():
+            meshes[int(mid)] = load_mesh(p)
+
+    results = load_bop_results(results_path)
+    by_image: dict = {}
+    for r in results:
+        by_image.setdefault((r["scene_id"], r["im_id"]), []).append(r)
+
+    taus = np.arange(0.05, 0.51, 0.05)
+    ths = np.arange(0.05, 0.51, 0.05)
+    ths_px = np.arange(5, 51, 5)
+
+    recalls = {
+        "vsd": np.zeros((len(taus), len(ths))),
+        "mssd": np.zeros(len(ths)),
+        "mspd": np.zeros(len(ths_px)),
+    }
+    n_gt = 0
+
+    scene_dirs = sorted((root / split).iterdir())
+    for scene_dir in scene_dirs:
+        if not scene_dir.is_dir():
+            continue
+        scene_id = int(scene_dir.name)
+        with open(scene_dir / "scene_gt.json") as f:
+            scene_gt = json.load(f)
+        with open(scene_dir / "scene_camera.json") as f:
+            scene_cam = json.load(f)
+        gt_info = {}
+        info_path = scene_dir / "scene_gt_info.json"
+        if info_path.exists():
+            with open(info_path) as f:
+                gt_info = json.load(f)
+
+        for fid, gts in scene_gt.items():
+            K = np.asarray(scene_cam[fid]["cam_K"]).reshape(3, 3)
+            ests = sorted(
+                by_image.get((scene_id, int(fid)), []),
+                key=lambda r: -r["score"],
+            )
+            depth_path = scene_dir / "depth" / f"{int(fid):06d}.png"
+            depth_test = (
+                np.asarray(imageio.imread(depth_path)).astype(np.float64)
+                if depth_path.exists()
+                else None
+            )
+            used = set()
+            for gi, gt in enumerate(gts):
+                info = (gt_info.get(fid) or [None] * (gi + 1))[gi]
+                if info and info.get("visib_fract", 1.0) < visib_gt_min:
+                    continue
+                n_gt += 1
+                obj_id = int(gt["obj_id"])
+                mesh = meshes.get(obj_id)
+                if mesh is None:
+                    continue
+                pts = mesh.vertices
+                if len(pts) > max_points:
+                    pts = pts[:: len(pts) // max_points]
+                diam = models_info[str(obj_id)]["diameter"]
+                R_gt = np.asarray(gt["cam_R_m2c"]).reshape(3, 3)
+                t_gt = np.asarray(gt["cam_t_m2c"])
+
+                match = None
+                for ei, e in enumerate(ests):
+                    if ei in used or e["obj_id"] != obj_id:
+                        continue
+                    match = (ei, e)
+                    break
+                if match is None:
+                    continue
+                used.add(match[0])
+                e = match[1]
+
+                e_mssd = mssd(e["R"], e["t"], R_gt, t_gt, pts)
+                recalls["mssd"] += e_mssd < ths * diam
+                w = int(K[0, 2] * 2)
+                e_mspd = mspd(e["R"], e["t"], R_gt, t_gt, K, pts)
+                recalls["mspd"] += e_mspd < ths_px * (w / 640.0)
+                if depth_test is not None:
+                    e_vsd = np.asarray(
+                        vsd(
+                            e["R"], e["t"], R_gt, t_gt, depth_test, K,
+                            vsd_delta, taus, True, diam, mesh,
+                        )
+                    )
+                    recalls["vsd"] += e_vsd[:, None] < ths[None, :]
+
+    if n_gt == 0:
+        raise ValueError("no ground-truth instances found")
+    ar_vsd = float(recalls["vsd"].sum() / (n_gt * len(taus) * len(ths)))
+    ar_mssd = float(recalls["mssd"].sum() / (n_gt * len(ths)))
+    ar_mspd = float(recalls["mspd"].sum() / (n_gt * len(ths_px)))
+    return {
+        "AR_vsd": ar_vsd,
+        "AR_mssd": ar_mssd,
+        "AR_mspd": ar_mspd,
+        "AR": (ar_vsd + ar_mssd + ar_mspd) / 3.0,
+        "n_gt": n_gt,
+    }
 
 
 def check_bop_dataset(dataset_root, dataset_name: str) -> dict:
