@@ -158,7 +158,7 @@ def _make_batch_program(mesh, n_steps: int, rasterize_fn):
     frame at a time anyway) that keeps the Pallas kernel usable (it has
     no vmap batching rule; under vmap only the XLA tiled backend would
     compile)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def one_scene(args):
@@ -208,7 +208,7 @@ def _make_batch_program(mesh, n_steps: int, rasterize_fn):
             mesh=mesh,
             in_specs=(spec, spec, spec, spec, spec, spec, P()),
             out_specs=spec,
-            check_rep=False,
+            check_vma=False,
         )
     )
 

@@ -49,18 +49,32 @@ def generate_scene_variants(
     seed: int = 0,
     mesh=None,
     max_objects: int = 8,
+    rasterize_fn=None,
     rasterize_kwargs: Optional[dict] = None,
 ) -> SceneBatchResult:
     """Randomize drops, simulate to rest, render — V variants in parallel.
 
     mesh: a 1-D 'scene' Mesh (default: all devices).  physics_params /
-    template are replicated; the variant axis is sharded.
+    template are replicated; the variant axis is sharded over the mesh
+    with shard_map and iterated per device with lax.map, so the Pallas
+    compositor is usable (it has no vmap batching rule) — the default
+    backend on TPU; the XLA tiled backend is the CPU default.
     """
     if mesh is None:
         mesh = make_mesh(axis_names=("scene",))
-    rasterize_kwargs = rasterize_kwargs or dict(
-        max_per_tile=512, big_budget=2048
-    )
+    if rasterize_fn is None:
+        if jax.default_backend() != "cpu":
+            from pegasus_tpu.ops.rasterize_pallas import rasterize_pallas
+
+            rasterize_fn = rasterize_pallas
+            rasterize_kwargs = rasterize_kwargs or {}
+        else:
+            rasterize_fn = rasterize_tiled
+            rasterize_kwargs = rasterize_kwargs or dict(
+                max_per_tile=512, big_budget=2048
+            )
+    else:
+        rasterize_kwargs = rasterize_kwargs or {}
     n_bodies = template.num_bodies
 
     keys = jax.random.split(jax.random.PRNGKey(seed), n_variants)
@@ -94,7 +108,7 @@ def generate_scene_variants(
         body_t = final.pos.at[0].set(jnp.zeros(3))
         scene = pose_scene(template, body_R[: template.num_bodies],
                            body_t[: template.num_bodies])
-        out = rasterize_tiled(
+        out = rasterize_fn(
             scene, cam, max_objects=max_objects, **rasterize_kwargs
         )
         return SceneBatchResult(
@@ -107,5 +121,16 @@ def generate_scene_variants(
             final_rot=final.rot,
         )
 
-    fn = jax.jit(jax.vmap(one_variant))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.jit(
+        shard_map(
+            lambda st: jax.lax.map(one_variant, st),
+            mesh=mesh,
+            in_specs=P("scene"),
+            out_specs=P("scene"),
+            check_vma=False,
+        )
+    )
     return fn(states)
