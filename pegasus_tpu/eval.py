@@ -438,3 +438,44 @@ def check_bop_dataset(dataset_root, dataset_name: str) -> dict:
 
     report["ok"] = not report["errors"]
     return report
+
+
+def main(argv=None) -> None:
+    """CLI: score a BOP results CSV or structurally check a dataset
+    (the role of bop_toolkit's eval_bop19_pose / check scripts).
+
+        python -m pegasus_tpu.eval --dataset-root out --dataset-name ds \\
+            [--results estimates.csv] [--check]
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="PEGASUS-TPU BOP evaluation")
+    parser.add_argument("--dataset-root", required=True)
+    parser.add_argument("--dataset-name", required=True)
+    parser.add_argument("--results", help="BOP results CSV to score")
+    parser.add_argument("--split", default="train")
+    parser.add_argument("--check", action="store_true",
+                        help="structural dataset validation")
+    args = parser.parse_args(argv)
+
+    out = {}
+    if args.check or not args.results:
+        out["check"] = check_bop_dataset(args.dataset_root, args.dataset_name)
+    if args.results:
+        out["scores"] = score_bop19(
+            args.results, args.dataset_root, args.dataset_name,
+            split=args.split,
+        )
+    print(json.dumps(out, indent=1, default=_to_json_default))
+
+
+def _to_json_default(o):
+    if isinstance(o, (np.floating, np.integer)):
+        return o.item()
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -194,6 +194,11 @@ def main(argv=None) -> None:
     parser.add_argument("--config", required=True, help="GenerationConfig JSON")
     parser.add_argument("--envs", nargs="*", help="environment class names")
     parser.add_argument("--objects", nargs="*", help="object class names")
+    parser.add_argument(
+        "--sharded", action="store_true",
+        help="scene-data-parallel generation over all devices "
+        "(requires splat_budget in the config)",
+    )
     args = parser.parse_args(argv)
 
     config = GenerationConfig.load(args.config)
@@ -208,7 +213,12 @@ def main(argv=None) -> None:
         if args.objects
         else registry.objects()
     )
-    run_generation(config, env_list, obj_list)
+    mesh = None
+    if args.sharded:
+        from pegasus_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(axis_names=("scene",))
+    run_generation(config, env_list, obj_list, mesh=mesh)
 
 
 if __name__ == "__main__":
