@@ -13,6 +13,7 @@ device side never synchronizes between variants.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -101,7 +102,24 @@ def generate_scene_variants(
     states = jax.vmap(init_state)(keys)
     states = shard_batch(states, mesh, "scene")
 
-    def one_variant(state):
+    fn = _variant_program(
+        mesh, n_steps, max_objects, rasterize_fn,
+        tuple(sorted(rasterize_kwargs.items())),
+    )
+    return fn(states, template, physics_params, cam)
+
+
+@functools.lru_cache(maxsize=16)
+def _variant_program(mesh, n_steps, max_objects, rasterize_fn, kw_items):
+    """Compiled program cache: repeated calls (different seeds/poses,
+    same shapes) must NOT re-jit — the closure-per-call pattern cost a
+    full recompile (~80 s on TPU) per invocation."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rasterize_kwargs = dict(kw_items)
+
+    def one_variant(state, template, physics_params, cam):
         _, final = rb.simulate(physics_params, state, n_steps=n_steps)
         body_R = quat.quat_to_rotmat(final.rot)
         body_R = body_R.at[0].set(jnp.eye(3))
@@ -121,16 +139,18 @@ def generate_scene_variants(
             final_rot=final.rot,
         )
 
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    def local(states, template, physics_params, cam):
+        return jax.lax.map(
+            lambda st: one_variant(st, template, physics_params, cam),
+            states,
+        )
 
-    fn = jax.jit(
+    return jax.jit(
         shard_map(
-            lambda st: jax.lax.map(one_variant, st),
+            local,
             mesh=mesh,
-            in_specs=P("scene"),
+            in_specs=(P("scene"), P(), P(), P()),
             out_specs=P("scene"),
             check_vma=False,
         )
     )
-    return fn(states)
