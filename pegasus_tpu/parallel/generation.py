@@ -151,6 +151,10 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def _make_batch_program(mesh, n_steps: int, rasterize_fn):
     """S scenes x F frames as ONE program: the scene axis is sharded over
     the mesh with shard_map, and each device iterates its LOCAL scenes
