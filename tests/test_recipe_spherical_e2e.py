@@ -187,3 +187,64 @@ def test_spherical_recipe_end_to_end(spherical_root, monkeypatch):
     cleaned = load_gs_ply(gs_out / "point_cloud.ply")
     c = np.asarray(cleaned.centroid())
     assert np.linalg.norm(c) < 0.05, c
+
+
+def test_in_the_wild_recipe_end_to_end(spherical_root, monkeypatch):
+    """Handheld-scan flow: external masks + renumber, un-locked SfM,
+    align2plane, down-registration, training, URDF + cleaning
+    (reference: in_the_wild_object_reconstruction.py:35-219)."""
+    import shutil
+
+    root, base04, bin_dir, model_src = spherical_root
+    from pegasus_tpu.reconstruction.recipes import (
+        in_the_wild_object_reconstruction,
+    )
+
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+    monkeypatch.setenv("COLMAP_STUB_MODEL", str(model_src))
+
+    base = Path(root) / "object" / "cup_noodles_07"
+    for hemi in ("up", "down"):
+        for sub in ("images", "masks"):
+            dst = base / hemi / sub
+            if not dst.exists():
+                shutil.copytree(base04 / hemi / sub, dst)
+
+    obj = Asset(
+        OBJECT_NAME="cup_noodles_07", ID=107, dataset_path=str(root),
+        SCALE=False, ALPHA=0.4, DATASET_TYPE="wild",
+    )
+    in_the_wild_object_reconstruction(obj, train_iterations=40)
+
+    fused = base / "fused"
+    assert (fused / "images" / "0001.png").exists()
+    assert (fused / "images" / "0151.png").exists()
+    assert (fused / "sparse" / "0" / "images.bin").exists()
+    assert (fused / "gs" / "point_cloud" / "iteration_40"
+            / "point_cloud.ply").exists()
+    assert Path(obj.urdf_obj_path).exists()
+
+
+def test_calibration_recipe(spherical_root, monkeypatch, tmp_path):
+    """Calibration-board reconstruction (the reusable pose prior,
+    reference: calibration_reconstruction.py)."""
+    import shutil
+
+    root, base04, bin_dir, model_src = spherical_root
+    from pegasus_tpu.reconstruction.recipes import calibration_reconstruction
+
+    monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
+    monkeypatch.setenv("COLMAP_STUB_MODEL", str(model_src))
+
+    board_dir = Path(root) / "environment" / "board"
+    (board_dir / "images").mkdir(parents=True, exist_ok=True)
+    for src in sorted((base04 / "up" / "images").iterdir())[:4]:
+        shutil.copyfile(src, board_dir / "images" / src.name)
+
+    board = Asset(
+        OBJECT_NAME="board", ID=2001, TYPE="environment",
+        dataset_path=str(root), SCALE=False,
+    )
+    sparse = calibration_reconstruction(board)
+    assert (Path(sparse) / "images.bin").exists()
+    assert (Path(sparse) / "cameras.bin").exists()
