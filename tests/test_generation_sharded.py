@@ -100,6 +100,52 @@ def test_sharded_generation_bop_tree(synthetic_root, tmp_path):
     assert len(n_objs_seen) >= 2
 
 
+def test_sharded_dynamic_mode_tracks_motion(synthetic_root, tmp_path):
+    """Dynamic sharded scenes record per-frame poses from the trajectory
+    (same contract as the sequential fix over the reference's frozen-t0
+    behavior)."""
+    import jax
+
+    env = Asset(
+        OBJECT_NAME="asphalt", ID=1003, TYPE="environment",
+        dataset_path=str(synthetic_root),
+        DROP_REGION=(0.05, 0.05), DROP_HEIGHT=(0.25, 0.3),
+    )
+    objs = [
+        Asset(OBJECT_NAME="cup_noodles_04", ID=104, dataset_path=str(synthetic_root)),
+    ]
+    out = tmp_path / "out"
+    config = GenerationConfig(
+        dataset_path=str(synthetic_root),
+        env_dataset_path=str(synthetic_root),
+        urdf_asset_folder=str(synthetic_root / "urdf"),
+        dataset_name="dyn_sh",
+        dataset_base_path=str(out),
+        num_scenes=2,
+        min_num_objects=1,
+        max_num_objects=1,
+        render_width=48,
+        render_height=40,
+        num_cameras=1,
+        num_camera_interpolation_steps=4,
+        simulation_steps=60,
+        mode="dynamic",
+        camera_trajectory_mode="sequence",
+        seed=2,
+        splat_budget=4000,
+        save_video=False,
+    )
+    run_generation(
+        config, [env], objs, mesh=make_mesh((2,), ("scene",), jax.devices()[:2])
+    )
+    gt = json.loads(
+        (out / "dyn_sh" / "train" / "000001" / "scene_gt.json").read_text()
+    )
+    t0 = np.asarray(gt["0"][0]["T_m2w"]).reshape(4, 4)[:3, 3]
+    t3 = np.asarray(gt["3"][0]["T_m2w"]).reshape(4, 4)[:3, 3]
+    assert np.linalg.norm(t3 - t0) > 1e-4  # falling between frames
+
+
 def test_sharded_matches_sequential_schema(synthetic_root, tmp_path):
     """Sequential and sharded paths write interoperable scene trees."""
     env = Asset(
