@@ -31,6 +31,8 @@ from pegasus_tpu.utils import quaternion as quat
 MAX_BODIES = 8
 MAX_POINTS = 48
 MAX_HULL_PLANES = 48
+MAX_HULL_PARTS = 6
+CONCAVITY_THRESHOLD = 0.08  # fraction of diameter triggering decomposition
 
 
 def _farthest_point_downsample(pts: np.ndarray, k: int) -> np.ndarray:
@@ -118,6 +120,132 @@ def hull_planes_from_mesh(
     return n_pad.astype(np.float32), d_pad.astype(np.float32)
 
 
+def _hull_planes_raw(pts: np.ndarray):
+    from scipy.spatial import ConvexHull
+
+    eq = ConvexHull(pts).equations
+    n, d = eq[:, :3], -eq[:, 3]
+    key = np.round(np.concatenate([n, d[:, None]], axis=1), 4)
+    _, uniq = np.unique(key, axis=0, return_index=True)
+    return n[uniq], d[uniq]
+
+
+def _concavity(samples: np.ndarray, n: np.ndarray, d: np.ndarray) -> float:
+    """Max inward distance of SURFACE samples from the hull boundary —
+    ~0 for convex shapes, large for bowls/channels."""
+    inward = d[None, :] - samples @ n.T  # [S, F] distance to each facet
+    return float(np.min(inward, axis=1).max())
+
+
+def _kmeans(pts: np.ndarray, k: int, iters: int = 12, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    centers = pts[rng.choice(len(pts), k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmin(
+            np.linalg.norm(pts[:, None, :] - centers[None], axis=-1), axis=1
+        )
+        for c in range(k):
+            sel = pts[assign == c]
+            if len(sel):
+                centers[c] = sel.mean(axis=0)
+    return assign
+
+
+def decompose_mesh_hulls(
+    verts: np.ndarray,
+    faces,
+    max_parts: int = MAX_HULL_PARTS,
+    max_planes: int = MAX_HULL_PLANES,
+    concavity_threshold: float = CONCAVITY_THRESHOLD,
+    n_samples: int = 2048,
+):
+    """Approximate convex decomposition -> grouped half-space sets.
+
+    Bullet's default loadURDF collides the single convex hull (concave
+    objects like bowls are 'filled in'); this EXCEEDS that: if surface
+    samples sit deeper than ``concavity_threshold x diameter`` inside the
+    hull, the surface is k-means-partitioned and each part gets its own
+    hull, so objects can rest INSIDE concavities.  Returns
+    (plane_n [max_planes,3], plane_d [max_planes], plane_group
+    [max_planes], n_parts).
+    """
+    pts = np.asarray(verts, np.float64)
+    group_pad = np.zeros(max_planes, np.int32)
+    if faces is None or len(pts) < 4:
+        n, d = hull_planes_from_mesh(pts, max_planes)
+        return n, d, group_pad, 1
+
+    from pegasus_tpu.io.mesh import TriMesh
+
+    mesh = TriMesh(pts, np.asarray(faces, np.int32))
+    samples = np.concatenate(
+        [mesh.sample_points(n_samples, rng=np.random.default_rng(0)), pts],
+        axis=0,
+    )
+    diameter = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+
+    def union_concavity(parts):
+        """Max depth of any SURFACE sample inside the union of part hulls
+        — ~0 when the decomposition hugs the true surface; large when a
+        part's hull bulges into a cavity (captures base-cluster hulls
+        that would 'fill' a bowl)."""
+        depth = np.zeros(len(samples))
+        for pn, pd in parts:
+            pen = pd[None, :] - samples @ pn.T  # [S, F]
+            inside = np.all(pen > 1e-9, axis=1)
+            depth = np.maximum(depth, np.where(inside, pen.min(axis=1), 0.0))
+        return float(depth.max())
+
+    try:
+        n1, d1 = _hull_planes_raw(samples)
+    except Exception:
+        n, d = hull_planes_from_mesh(pts, max_planes)
+        return n, d, group_pad, 1
+    if _concavity(samples, n1, d1) < concavity_threshold * diameter:
+        n, d = hull_planes_from_mesh(pts, max_planes)
+        return n, d, group_pad, 1
+
+    best = None  # (union_concavity, k, clusters)
+    for k in range(2, max_parts + 1):
+        assign = _kmeans(samples, k, seed=k)
+        parts = []
+        clusters = []
+        ok = True
+        for c in range(k):
+            part = samples[assign == c]
+            if len(part) < 4:
+                ok = False
+                break
+            try:
+                parts.append(_hull_planes_raw(part))
+            except Exception:
+                ok = False
+                break
+            clusters.append(part)
+        if not ok:
+            continue
+        uc = union_concavity(parts)
+        if best is None or uc < best[0]:
+            best = (uc, k, clusters)
+        if uc < concavity_threshold * diameter:
+            break
+
+    if best is None:
+        n, d = hull_planes_from_mesh(pts, max_planes)
+        return n, d, group_pad, 1
+
+    _, k, clusters = best
+    budget = max_planes // k
+    n_pad = np.tile(np.array([0.0, 0.0, 1.0]), (max_planes, 1)).astype(np.float32)
+    d_pad = np.full(max_planes, 1e9, np.float32)
+    for c, part in enumerate(clusters):
+        pn, pd = hull_planes_from_mesh(part, budget)
+        lo, hi = c * budget, (c + 1) * budget
+        n_pad[lo:hi], d_pad[lo:hi] = pn, pd
+        group_pad[lo:hi] = c
+    return n_pad, d_pad, group_pad, k
+
+
 class PhysicsEngine:
     """Bullet-free drop simulation (reference ctor:
     physical_simulation.py:20-55)."""
@@ -134,6 +262,7 @@ class PhysicsEngine:
         max_bodies: int = MAX_BODIES,
         max_points: int = MAX_POINTS,
         max_hull_planes: int = MAX_HULL_PLANES,
+        max_hull_parts: int = MAX_HULL_PARTS,
     ):
         self.trajectory_path = Path(output_path_json)
         self.trajectory_path.parent.mkdir(exist_ok=True, parents=True)
@@ -149,6 +278,7 @@ class PhysicsEngine:
         self.max_bodies = max_bodies
         self.max_points = max_points
         self.max_hull_planes = max_hull_planes
+        self.max_hull_parts = max_hull_parts
 
         self.asset_list = {"environment": {}, "object": {}}
         self._bodies: List[dict] = []  # ordered by bullet id
@@ -231,9 +361,16 @@ class PhysicsEngine:
         )
         lo, hi = verts.min(axis=0), verts.max(axis=0)
         if obj_type == "object":
-            plane_n, plane_d = hull_planes_from_mesh(verts, self.max_hull_planes)
+            plane_n, plane_d, plane_group, _ = decompose_mesh_hulls(
+                verts,
+                mesh.faces
+                if (mesh_path is not None and mesh_path.exists())
+                else None,
+                max_parts=self.max_hull_parts,
+                max_planes=self.max_hull_planes,
+            )
         else:
-            plane_n = plane_d = None  # env never enters pair contacts
+            plane_n = plane_d = plane_group = None  # env: no pair contacts
         self._bodies.append(
             {
                 "name": obj_name,
@@ -244,6 +381,7 @@ class PhysicsEngine:
                 "half_extents": (hi - lo) / 2.0,
                 "plane_n": plane_n,
                 "plane_d": plane_d,
+                "plane_group": plane_group,
                 "radius": float(np.linalg.norm(pts, axis=1).max()),
                 "start_pos": np.asarray(start_pos, np.float64),
                 "start_q_xyzw": q_xyzw,
@@ -268,6 +406,7 @@ class PhysicsEngine:
         half_extents = np.full((nb, 3), 1e-3, np.float32)
         plane_n = np.tile(np.array([0, 0, 1.0], np.float32), (nb, nh, 1))
         plane_d = np.full((nb, nh), 1e9, np.float32)
+        plane_group = np.zeros((nb, nh), np.int32)
         friction = np.full(nb, 0.5, np.float32)
         restitution = np.zeros(nb, np.float32)
         body_mask = np.zeros(nb, bool)
@@ -295,6 +434,7 @@ class PhysicsEngine:
             if body.get("plane_n") is not None:
                 plane_n[i] = body["plane_n"]
                 plane_d[i] = body["plane_d"]
+                plane_group[i] = body["plane_group"]
 
         params = rb.RigidBodyParams(
             inv_mass=jnp.asarray(inv_mass),
@@ -308,6 +448,8 @@ class PhysicsEngine:
             half_extents=jnp.asarray(half_extents),
             plane_n=jnp.asarray(plane_n),
             plane_d=jnp.asarray(plane_d),
+            plane_group=jnp.asarray(plane_group),
+            num_hull_parts=self.max_hull_parts,
         )
         state0 = rb.RigidBodyState.rest(pos, rot)
         return params, state0

@@ -73,6 +73,9 @@ class RigidBodyParams:
     half_extents: jnp.ndarray = None  # [B, 3] box fallback for hull planes
     plane_n: jnp.ndarray = None  # [B, H, 3] convex-hull facet normals (body)
     plane_d: jnp.ndarray = None  # [B, H] facet offsets: inside iff n.x <= d
+    plane_group: jnp.ndarray = None  # [B, H] i32 hull part id (multi-hull
+    # approximate convex decomposition; padding planes carry d=1e9)
+    num_hull_parts: int = struct.field(pytree_node=False, default=1)
 
     def __post_init__(self):
         if self.half_extents is None:
@@ -101,6 +104,12 @@ class RigidBodyParams:
                 self,
                 "plane_d",
                 jnp.concatenate([he, he], axis=-1),  # [B, 6]
+            )
+        if self.plane_group is None:
+            object.__setattr__(
+                self,
+                "plane_group",
+                jnp.zeros(self.plane_d.shape, jnp.int32),
             )
 
 
@@ -219,16 +228,36 @@ def _pair_contacts(
     rel = x[:, None, :, :] - state.pos[None, :, None, :]
     p_local = jnp.einsum("jab,ijpa->ijpb", R, rel)  # R_j^T @ rel
     # signed distance to each hull facet of j, with a margin shell
-    # (Bullet keeps a similar shell) so exactly-touching faces resolve:
-    # inside iff n_h . p <= d_h + margin for ALL facets
+    # (Bullet keeps a similar shell) so exactly-touching faces resolve.
+    # j's collision shape is a UNION of convex parts (plane_group ids —
+    # approximate convex decomposition, beyond Bullet's default
+    # single-hull loadURDF): a point collides a part iff n_h . p <=
+    # d_h + margin for ALL of that part's facets; among penetrated parts
+    # the deepest one supplies depth and normal.
     facet_pen = (
         (params.plane_d + margin)[None, :, None, :]
         - jnp.einsum("jha,ijpa->ijph", params.plane_n, p_local)
     )  # [B_i, B_j, P, H]
-    inside = jnp.all(facet_pen > 0.0, axis=-1) & pair_ok[:, :, None]
+    n_groups = params.num_hull_parts
+
+    real_plane = params.plane_d < 1e8  # [B_j, H]
+    NEG = jnp.float32(-1e9)
+    depth = jnp.full(facet_pen.shape[:3], NEG)
+    h_star = jnp.zeros(facet_pen.shape[:3], jnp.int32)
+    for g in range(n_groups):
+        in_g = (params.plane_group == g)[None, :, None, :]  # [1,B_j,1,H]
+        pen_g = jnp.where(in_g, facet_pen, jnp.inf)
+        depth_g = jnp.min(pen_g, axis=-1)  # [B_i,B_j,P]
+        h_g = jnp.argmin(pen_g, axis=-1)
+        exists_g = jnp.any((params.plane_group == g) & real_plane, axis=-1)
+        valid_g = (depth_g > 0.0) & jnp.isfinite(depth_g) & exists_g[None, :, None]
+        better = valid_g & (depth_g > depth)
+        depth = jnp.where(better, depth_g, depth)
+        h_star = jnp.where(better, h_g, h_star)
+
+    inside = (depth > NEG / 2) & pair_ok[:, :, None]
     inside = inside & params.point_mask[:, None, :]
-    depth = jnp.min(facet_pen, axis=-1)  # [B_i, B_j, P] (incl. margin shell)
-    h_star = jnp.argmin(facet_pen, axis=-1)  # nearest facet index
+    depth = jnp.where(inside, depth, 0.0)
     n_local = jnp.take_along_axis(
         jnp.broadcast_to(
             params.plane_n[None, :, None, :, :],
@@ -237,7 +266,7 @@ def _pair_contacts(
         h_star[..., None, None].repeat(3, -1),
         axis=-2,
     )[..., 0, :]  # [B_i, B_j, P, 3] outward facet normal in j's frame
-    # world normal points from j toward i (outward from j's hull)
+    # world normal points from j toward i (outward from j's hull part)
     n = jnp.einsum("jab,ijpb->ijpa", R, n_local)
 
     # contact-point velocities
