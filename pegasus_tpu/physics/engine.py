@@ -361,7 +361,7 @@ class PhysicsEngine:
         )
         lo, hi = verts.min(axis=0), verts.max(axis=0)
         if obj_type == "object":
-            plane_n, plane_d, plane_group, _ = decompose_mesh_hulls(
+            plane_n, plane_d, plane_group, n_parts = decompose_mesh_hulls(
                 verts,
                 mesh.faces
                 if (mesh_path is not None and mesh_path.exists())
@@ -371,6 +371,7 @@ class PhysicsEngine:
             )
         else:
             plane_n = plane_d = plane_group = None  # env: no pair contacts
+            n_parts = 1
         self._bodies.append(
             {
                 "name": obj_name,
@@ -382,6 +383,7 @@ class PhysicsEngine:
                 "plane_n": plane_n,
                 "plane_d": plane_d,
                 "plane_group": plane_group,
+                "n_parts": n_parts,
                 "radius": float(np.linalg.norm(pts, axis=1).max()),
                 "start_pos": np.asarray(start_pos, np.float64),
                 "start_q_xyzw": q_xyzw,
@@ -449,7 +451,11 @@ class PhysicsEngine:
             plane_n=jnp.asarray(plane_n),
             plane_d=jnp.asarray(plane_d),
             plane_group=jnp.asarray(plane_group),
-            num_hull_parts=self.max_hull_parts,
+            # specialize the unrolled group loop to what the scene needs:
+            # all-convex scenes keep the single-group fast path
+            num_hull_parts=max(
+                (b.get("n_parts", 1) for b in self._bodies), default=1
+            ),
         )
         state0 = rb.RigidBodyState.rest(pos, rot)
         return params, state0
