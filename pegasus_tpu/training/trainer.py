@@ -127,11 +127,13 @@ class GSTrainer:
         width: int = 128,
         height: int = 128,
         background=(0.0, 0.0, 0.0),
+        max_per_tile: int = 1024,
     ):
         self.config = config
         self.width = width
         self.height = height
         self.background = jnp.asarray(background, jnp.float32)
+        self.max_per_tile = max_per_tile
         if render_fn is None:
             from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
 
@@ -236,10 +238,14 @@ class GSTrainer:
         return state, metrics
 
     def _render_with_offset(self, cloud, cam, mean2d_offset, active_deg):
-        """Render via the golden compositor with a screen-space offset
-        injected after projection (gradient probe for densification)."""
+        """Differentiable render with a screen-space offset injected after
+        projection (the gradient probe for densification).  Runs on the
+        TILED XLA backend — fully differentiable (the sort order and tile
+        keys are constants w.r.t. the parameters, exactly like the CUDA
+        backward treats its binning) and an order of magnitude faster
+        than the per-pixel golden compositor on real training shapes."""
         from pegasus_tpu.ops.projection import project_gaussians
-        from pegasus_tpu.ops.rasterize_ref import rasterize_projected
+        from pegasus_tpu.ops.rasterize_tiled import rasterize_projected_tiled
 
         # active SH degree: zero out bands above the current degree
         k = cloud.f_rest.shape[1]
@@ -254,9 +260,10 @@ class GSTrainer:
             mean_x=proj.mean_x + mean2d_offset[:, 0],
             mean_y=proj.mean_y + mean2d_offset[:, 1],
         )
-        return rasterize_projected(
+        return rasterize_projected_tiled(
             proj, self.width, self.height, self.background,
-            max_objects=1, chunk=512,
+            max_objects=1, max_per_tile=self.max_per_tile,
+            big_budget=min(16384, self.config.capacity),
         )
 
     # -- densify / prune -------------------------------------------------------------
