@@ -213,4 +213,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — ALWAYS emit the JSON line
+        print(
+            json.dumps(
+                {
+                    "metric": "frames/sec/chip (640x480 RGB+depth+seg+masks, 210k splats)",
+                    "value": None,
+                    "unit": "frames/s",
+                    "vs_baseline": None,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+        raise
