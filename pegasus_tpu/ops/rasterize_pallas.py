@@ -42,6 +42,33 @@ from pegasus_tpu.ops.rasterize_ref import RenderOutputs
 _ALIGN = 128  # lane alignment of DMA windows
 
 
+def _make_cumsum_lanes(w_lanes: int, block: int = 128):
+    """Inclusive cumsum along lanes as BLOCKED triangular MXU matmuls.
+
+    Mosaic has no cumsum lowering; a single [W, W] triangular matmul
+    costs PX*W^2 MACs.  Splitting the lane axis into 128-wide blocks
+    (per-block [128, 128] triangle + running block offsets) costs
+    PX*W*128 — a 3x FLOP cut at W=384, on the kernel's dominant op.
+    """
+    rr = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    tri = (rr <= cc).astype(jnp.float32)  # U[c, j] = 1 iff c <= j
+    n_blocks = w_lanes // block
+    assert n_blocks * block == w_lanes
+
+    def cumsum_lanes(x):  # [PX, W]
+        parts = []
+        offset = jnp.zeros((x.shape[0], 1), jnp.float32)
+        for b in range(n_blocks):
+            seg = x[:, b * block : (b + 1) * block]
+            cs = jax.lax.dot(seg, tri, preferred_element_type=jnp.float32)
+            parts.append(cs + offset)
+            offset = offset + cs[:, block - 1 : block]
+        return jnp.concatenate(parts, axis=1)
+
+    return cumsum_lanes
+
+
 def _composite_kernel(
     # scalar prefetch
     start_ref,  # [n_tiles] i32: first entry of each tile's segment
@@ -76,14 +103,7 @@ def _composite_kernel(
     pys = (lin // tile + ty * tile).astype(jnp.float32)
 
     n_chunks = (count + chunk - 1) // chunk
-
-    # cumsum along lanes as a triangular MXU matmul (no cumsum in mosaic)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, w_lanes), 0)
-    cc_i = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, w_lanes), 1)
-    tri = (rr <= cc_i).astype(jnp.float32)  # U[c, j] = 1 iff c <= j
-
-    def cumsum_lanes(x):
-        return jax.lax.dot(x, tri, preferred_element_type=jnp.float32)
+    cumsum_lanes = _make_cumsum_lanes(w_lanes)
 
     def get_dma(slot, c_i):
         return pltpu.make_async_copy(
@@ -390,12 +410,7 @@ def _composite_kernel_mt(
     k = max_objects
 
     w_lanes = chunk + _ALIGN
-    rr = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, w_lanes), 0)
-    cc_i = jax.lax.broadcasted_iota(jnp.int32, (w_lanes, w_lanes), 1)
-    tri = (rr <= cc_i).astype(jnp.float32)
-
-    def cumsum_lanes(x):
-        return jax.lax.dot(x, tri, preferred_element_type=jnp.float32)
+    cumsum_lanes = _make_cumsum_lanes(w_lanes)
 
     def tile_scalars(t_local):
         t_global = base_tile + t_local
