@@ -284,6 +284,11 @@ def run_generation_sharded(
 
     stats = SceneStats(path=str(dataset_dir / "generation_stats.jsonl"))
     scene_ids = list(range(1, config.num_scenes + 1))
+    if config.resume:
+        from pegasus_tpu.utils.observability import completed_scene_ids
+
+        done = completed_scene_ids(out_root, config.dataset_name)
+        scene_ids = [s for s in scene_ids if s not in done]
     batch_program = _make_batch_program(
         mesh, n_steps=config.simulation_steps, rasterize_fn=rasterize_fn
     )

@@ -100,6 +100,48 @@ def test_sharded_generation_bop_tree(synthetic_root, tmp_path):
     assert len(n_objs_seen) >= 2
 
 
+def test_sharded_resume_skips_done_scenes(synthetic_root, tmp_path):
+    import dataclasses
+    import jax
+
+    env = Asset(
+        OBJECT_NAME="asphalt", ID=1003, TYPE="environment",
+        dataset_path=str(synthetic_root),
+        DROP_REGION=(0.05, 0.05), DROP_HEIGHT=(0.2, 0.25),
+    )
+    objs = [
+        Asset(OBJECT_NAME="cup_noodles_04", ID=104, dataset_path=str(synthetic_root)),
+    ]
+    out = tmp_path / "out"
+    base = dict(
+        dataset_path=str(synthetic_root),
+        env_dataset_path=str(synthetic_root),
+        urdf_asset_folder=str(synthetic_root / "urdf"),
+        dataset_name="resume_sh",
+        dataset_base_path=str(out),
+        min_num_objects=1, max_num_objects=1,
+        render_width=48, render_height=40,
+        num_cameras=1, num_camera_interpolation_steps=2,
+        simulation_steps=15, mode="static",
+        camera_trajectory_mode="sequence", seed=8,
+        splat_budget=4000, save_video=False,
+    )
+    mesh = make_mesh((2,), ("scene",), jax.devices()[:2])
+    run_generation(GenerationConfig(num_scenes=2, **base), [env], objs, mesh=mesh)
+    s1_gt = out / "resume_sh" / "train" / "000001" / "scene_gt.json"
+    mtime_before = s1_gt.stat().st_mtime_ns
+
+    stats = run_generation(
+        GenerationConfig(num_scenes=4, resume=True, **base),
+        [env], objs, mesh=mesh,
+    )
+    # only the two NEW scenes were generated; scene 1 untouched
+    assert stats.summary()["scenes"] == 2
+    assert s1_gt.stat().st_mtime_ns == mtime_before
+    for sid in range(1, 5):
+        assert (out / "resume_sh" / "train" / f"{sid:06d}" / "scene_gt.json").exists()
+
+
 def test_sharded_dynamic_mode_tracks_motion(synthetic_root, tmp_path):
     """Dynamic sharded scenes record per-frame poses from the trajectory
     (same contract as the sequential fix over the reference's frozen-t0
