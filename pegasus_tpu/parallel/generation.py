@@ -293,8 +293,7 @@ def run_generation_sharded(
         mesh, n_steps=config.simulation_steps, rasterize_fn=rasterize_fn
     )
 
-    for batch_start in range(0, len(scene_ids), n_dev):
-        batch_ids = scene_ids[batch_start : batch_start + n_dev]
+    def one_batch(batch_ids) -> None:
         t0 = time.perf_counter()
         setups = [
             _scene_setup(config, env_list, obj_list, rng, preload, sid)
@@ -348,6 +347,15 @@ def run_generation_sharded(
                 splats=int(config.splat_budget),
                 n_objects=setup["n_obj"],
             )
+
+    from pegasus_tpu.utils.observability import retry_scene
+
+    for batch_start in range(0, len(scene_ids), n_dev):
+        batch_ids = scene_ids[batch_start : batch_start + n_dev]
+        # bounded retries per batch (SURVEY 5 failure handling; a failed
+        # batch is re-randomized on retry, like the sequential path's
+        # per-scene retry)
+        retry_scene(lambda _sid: one_batch(batch_ids), batch_ids[0])
     print(f"[pegasus-tpu] sharded generation summary: {stats.summary()}")
     return stats
 
