@@ -190,3 +190,9 @@ def rotate_sh_rest(f_rest, R, deg: int = 3):
     if start < f_rest.shape[1]:
         outs.append(f_rest[:, start:, :])
     return jnp.concatenate(outs, axis=1)
+
+
+# Inria-submodule spelling (utils/sh_utils.py RGB2SH/SH2RGB), imported by
+# reference-era code (SURVEY 2.3.4)
+RGB2SH = rgb2sh
+SH2RGB = sh2rgb
