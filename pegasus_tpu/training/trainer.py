@@ -337,17 +337,29 @@ class GSTrainer:
             .at[dst]
             .set(can_place)[:cap],
         )
-        # split parents shrink too (the reference deletes the parent and
-        # adds N=2 children; shrinking parent+1 child is equivalent).
-        # Mask on `keep` (pre-placement survivors), NOT post-placement
-        # alive: a child placed into a slot freed by pruning a split-flagged
-        # parent must not inherit that slot's shrink.
-        parent_scale = jnp.where(
-            (split_mask & keep)[:, None],
-            cloud.scale - jnp.log(0.8 * 2),
-            cloud.scale,
+        # the reference's split deletes the parent and samples N=2 children
+        # (gaussian_model.py:398-414); in slot form the parent slot BECOMES
+        # the second child: shrink its scale and resample its position from
+        # its own covariance.  Mask on `keep` (pre-placement survivors),
+        # NOT post-placement alive: a child placed into a slot freed by
+        # pruning a split-flagged parent must not inherit this.
+        parent_split = split_mask & keep
+        noise2 = jax.random.normal(jax.random.fold_in(key, 1), (cap, 3))
+        rot_all = quat.quat_to_rotmat(cloud.get_rotation())
+        # pre-shrink scaling of the slot (children placed into dead slots
+        # are never parent_split, so using the post-placement cloud is safe)
+        slot_scale = cloud.get_scaling()
+        offset2 = jnp.einsum("nij,nj->ni", rot_all, noise2 * slot_scale)
+        cloud = cloud.replace(
+            xyz=jnp.where(
+                parent_split[:, None], cloud.xyz + offset2, cloud.xyz
+            ),
+            scale=jnp.where(
+                parent_split[:, None],
+                cloud.scale - jnp.log(0.8 * 2),
+                cloud.scale,
+            ),
         )
-        cloud = cloud.replace(scale=parent_scale)
 
         # per-slot Adam moment surgery (reference: gaussian_model.py:290-363
         # zeroes moments of new rows and keeps survivors'): zero moments of
@@ -357,7 +369,9 @@ class GSTrainer:
         replaced = (
             jnp.zeros(cap + 1, bool).at[dst].set(can_place)[:cap]
         )
-        stale = replaced | ~keep
+        # split parents were resampled into second children — their moments
+        # are stale too
+        stale = replaced | ~keep | parent_split
 
         def _zero_stale(x):
             if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == cap:
