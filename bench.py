@@ -35,22 +35,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_FPS = 4.0
 
 
-def _parity_gate(scene):
+def _parity_gate(scene, cam, fast_render):
     """Compiled-backend parity vs the golden compositor (BASELINE: >40 dB).
 
-    Runs on whatever backend jax selected — on TPU this gates the MOSAIC-
-    compiled Pallas kernel, which interpret-mode tests cannot see.  The
-    gate renders the full 210k-splat scene at 320x240 (the golden
-    compositor is O(pixels x splats); quarter resolution keeps the gate
-    under a minute without changing what is being compared)."""
-    from pegasus_tpu.camera import Camera
-    from pegasus_tpu.ops.validate import compare_backends
+    Gates the MOSAIC-compiled kernel (interpret-mode tests cannot see it)
+    at the headline resolution, REUSING the already-compiled benchmark
+    render — the only extra cost is one golden compile + run."""
+    import jax
 
-    cam = Camera.look_at(
-        eye=(0.9, 0.7, 0.9), target=(0, 0, 0.05), up=(0, 0, 1),
-        fovx=np.deg2rad(60), fovy=np.deg2rad(47), width=320, height=240,
+    from pegasus_tpu.ops.rasterize_ref import rasterize_reference
+    from pegasus_tpu.ops.validate import psnr_db
+
+    golden = jax.jit(
+        lambda s, c: rasterize_reference(s, c, max_objects=8)
     )
-    report = compare_backends(scene, cam, max_objects=8)
+    ref = golden(scene, cam)
+    out = fast_render(scene, cam)
+    jax.block_until_ready((ref.rgb, out.rgb))
+
+    depth_peak = max(float(np.asarray(ref.depth).max()), 1e-6)
+    report = {
+        "rgb_psnr_db": psnr_db(ref.rgb, out.rgb),
+        "depth_psnr_db": psnr_db(ref.depth, out.depth, peak=depth_peak),
+    }
+    for name in ("seg_weights", "vis_weights", "amodal"):
+        report[f"{name}_psnr_db"] = psnr_db(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(out, name))
+        )
     worst = min(v for k, v in report.items() if k.endswith("_psnr_db"))
     return round(float(worst), 2), report
 
@@ -187,7 +198,7 @@ def main():
 
     print(f"[bench] fps={fps:.1f}; running parity gate...", file=sys.stderr)
     try:
-        line["pallas_parity_db"], parity_report = _parity_gate(scene)
+        line["pallas_parity_db"], parity_report = _parity_gate(scene, cam, render)
     except Exception as e:  # noqa: BLE001 — parity failure must be visible
         line["pallas_parity_db"] = None
         line["parity_error"] = f"{type(e).__name__}: {e}"
