@@ -182,8 +182,9 @@ class GSTrainer:
 
     # -- one optimization step -----------------------------------------------------
 
-    @partial(jax.jit, static_argnums=(0,))
-    def train_step(self, state: TrainState, cam: Camera, gt_image: jnp.ndarray):
+    def _loss_and_grads(self, state: TrainState, cam: Camera, gt_image):
+        """(loss, aux, param_grads, offset_grad) for one camera — the
+        shared core of the single-step and data-parallel paths."""
         c = self.config
         active_deg_f = jnp.minimum(
             state.step // c.sh_increase_interval, c.max_sh_degree
@@ -191,18 +192,17 @@ class GSTrainer:
 
         def loss_fn(params, mean2d_offset):
             cloud = _with_params(state.cloud, params)
-            # screen-space grad probe: shift splat means by a zero offset
-            # inside the projection by nudging xyz along camera axes is
-            # impractical; instead rasterize with xyz -> the offset enters
-            # via a custom projection wrapper below.
+            # screen-space grad probe: the zero offset enters after
+            # projection, so its gradient is the CUDA backward's mean2d
+            # statistic (gaussian_model.py:453-456)
             out = self._render_with_offset(cloud, cam, mean2d_offset, active_deg_f)
             pred = jnp.clip(out.rgb, 0.0, 1.0)
             loss, aux = gs_loss(pred, gt_image, c.lambda_dssim)
-            return loss, (aux, out)
+            return loss, aux
 
         params = _param_dict(state.cloud)
         offset = jnp.zeros((c.capacity, 2), jnp.float32)
-        (loss, (aux, out)), grads = jax.value_and_grad(
+        (loss, aux), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(params, offset)
         param_grads, offset_grad = grads
@@ -214,8 +214,20 @@ class GSTrainer:
             m = alive.reshape((-1,) + (1,) * (g.ndim - 1))
             return jnp.where(m, g, 0.0)
 
-        param_grads = jax.tree.map(mask_grad, param_grads)
+        return loss, aux, jax.tree.map(mask_grad, param_grads), offset_grad
 
+    @staticmethod
+    def _densify_stats(offset_grad):
+        """Per-view screen-gradient norm + visibility indicator
+        (reference: gaussian_model.py:453-456 accumulates PER VIEW)."""
+        g2d = jnp.linalg.norm(offset_grad, axis=-1)
+        visible = g2d > 0
+        return jnp.where(visible, g2d, 0.0), visible.astype(jnp.float32)
+
+    def _apply_grads(self, state, param_grads, g2d_delta, denom_delta,
+                     n_steps=1):
+        """Optimizer update + densification statistic accumulation."""
+        params = _param_dict(state.cloud)
         updates, opt_state = self.optimizer.update(
             param_grads, state.opt_state, params
         )
@@ -224,18 +236,71 @@ class GSTrainer:
         new_params = optax.apply_updates(params, updates)
         cloud = _with_params(state.cloud, new_params)
 
-        # densification statistics (reference: gaussian_model.py:453-456)
-        g2d = jnp.linalg.norm(offset_grad, axis=-1)
-        visible = g2d > 0
-        state = state.replace(
+        return state.replace(
             cloud=cloud,
             opt_state=opt_state,
-            xyz_grad_accum=state.xyz_grad_accum + jnp.where(visible, g2d, 0.0),
-            denom=state.denom + visible.astype(jnp.float32),
-            step=state.step + 1,
+            xyz_grad_accum=state.xyz_grad_accum + g2d_delta,
+            denom=state.denom + denom_delta,
+            step=state.step + n_steps,
         )
-        metrics = {"loss": loss, **aux}
-        return state, metrics
+
+    @partial(jax.jit, static_argnums=(0,))
+    def train_step(self, state: TrainState, cam: Camera, gt_image: jnp.ndarray):
+        loss, aux, param_grads, offset_grad = self._loss_and_grads(
+            state, cam, gt_image
+        )
+        g2d, denom = self._densify_stats(offset_grad)
+        state = self._apply_grads(state, param_grads, g2d, denom)
+        return state, {"loss": loss, **aux}
+
+    def make_dp_train_step(self, mesh, axis: str = "batch"):
+        """Data-parallel step over a CAMERA batch sharded on `mesh`.
+
+        The reference trains strictly single-GPU, batch size 1
+        (gs_training.py); here each device renders its camera shard,
+        gradients average with one psum over ICI, and the (replicated)
+        optimizer applies a single update — effectively Inria with batch
+        size = mesh size.  Densification statistics sum across the batch
+        so split/clone pressure matches the larger effective batch.
+
+        Returns fn(state, cams_b, gts_b) -> (state, metrics); leading
+        batch axis must be a multiple of the mesh size.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local(state, cams, gts):
+            def one(cam_gt):
+                cam, gt = cam_gt
+                loss, aux, pg, og = self._loss_and_grads(state, cam, gt)
+                g2d, denom = self._densify_stats(og)
+                return loss, aux, pg, g2d, denom
+
+            loss, aux, pg, g2d, denom = jax.lax.map(one, (cams, gts))
+            mean = lambda t: jax.tree.map(lambda x: x.mean(axis=0), t)
+            loss, aux, pg = mean(loss), mean(aux), mean(pg)
+            # densify stats accumulate per VIEW (sum, not average)
+            g2d, denom = g2d.sum(axis=0), denom.sum(axis=0)
+
+            loss = jax.lax.pmean(loss, axis)
+            aux = jax.lax.pmean(aux, axis)
+            pg = jax.lax.pmean(pg, axis)
+            g2d = jax.lax.psum(g2d, axis)
+            denom = jax.lax.psum(denom, axis)
+            new_state = self._apply_grads(state, pg, g2d, denom, n_steps=1)
+            return new_state, {"loss": loss, **aux}
+
+        spec_state = P()  # replicated
+        spec_batch = P(axis)
+        return jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(spec_state, spec_batch, spec_batch),
+                out_specs=(spec_state, spec_state),
+                check_vma=False,
+            )
+        )
 
     def _render_with_offset(self, cloud, cam, mean2d_offset, active_deg):
         """Differentiable render with a screen-space offset injected after
