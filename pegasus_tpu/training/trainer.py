@@ -473,12 +473,20 @@ class GSTrainer:
         seed: int = 0,
         scene_extent: float = 1.0,
         log_every: int = 0,
+        mesh=None,
     ):
+        """mesh: optional device mesh -> each iteration renders a
+        mesh-size camera batch data-parallel (one psum'd update)."""
         c = self.config
         iterations = iterations or c.iterations
         rng = np.random.default_rng(seed)
         key = jax.random.PRNGKey(seed)
         metrics = {}
+        dp_step = None
+        if mesh is not None:
+            dp_step = self.make_dp_train_step(mesh)
+            n_dev = int(np.prod(list(mesh.shape.values())))
+            gt_arr = jnp.stack(gt_images)
         # densify/opacity-reset fire on the GLOBAL step (state.step), not the
         # segment-local counter: the per-milestone segments of
         # train_gaussian_splatting_wrapper must not restart the densify
@@ -486,8 +494,17 @@ class GSTrainer:
         base_step = int(state.step)
         for it in range(1, iterations + 1):
             gstep = base_step + it
-            idx = int(rng.integers(0, len(cameras)))
-            state, metrics = self.train_step(state, cameras[idx], gt_images[idx])
+            if dp_step is not None:
+                idx = rng.choice(len(cameras), n_dev, replace=n_dev > len(cameras))
+                cams_b = jax.tree.map(
+                    lambda *x: jnp.stack(x), *[cameras[i] for i in idx]
+                )
+                state, metrics = dp_step(state, cams_b, gt_arr[idx])
+            else:
+                idx = int(rng.integers(0, len(cameras)))
+                state, metrics = self.train_step(
+                    state, cameras[idx], gt_images[idx]
+                )
             if (
                 c.densify_from_iter <= gstep <= c.densify_until_iter
                 and gstep % c.densification_interval == 0

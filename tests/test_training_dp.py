@@ -100,3 +100,14 @@ def test_dp_training_reduces_loss(setup):
         state, m = dp_step(state, cams8, gts8)
     assert float(m["loss"]) < 0.7 * float(m0["loss"])
     assert np.isfinite(float(m["loss"]))
+
+
+def test_train_loop_with_mesh(setup):
+    """GSTrainer.train(mesh=...) drives the DP step per iteration."""
+    trainer, state, cams, gts = setup
+    mesh = make_mesh((4,), ("batch",), jax.devices()[:4])
+    state2, m = trainer.train(
+        state, cams, gts, iterations=10, scene_extent=0.5, seed=2, mesh=mesh
+    )
+    assert int(state2.step) == int(state.step) + 10
+    assert np.isfinite(float(m["loss"]))
