@@ -117,3 +117,52 @@ def completed_scene_ids(dataset_path, dataset_name: str) -> set:
                 except ValueError:
                     pass
     return done
+
+
+# -- numerics debugging (SURVEY 5: the reference exposes only torch's
+# -- detect_anomaly flag, default off; gs_training.py:18,45) ------------------
+
+
+def enable_nan_debugging() -> None:
+    """Global NaN tripwire: any NaN produced under jit raises with the
+    offending primitive (jax's debug_nans; also honored when the
+    ``PEGASUS_TPU_DEBUG_NANS`` env var is set at import time)."""
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+
+
+def checked(fn, *, errors=None):
+    """Wrap a jittable function with checkify so NaN/OOB/div errors are
+    CARRIED as values instead of silently propagating — usable inside
+    jit/scan where debug_nans cannot run.
+
+        checked_fn = checked(render_frame)
+        err, out = checked_fn(scene, cam, colors)
+        err.throw()  # raises with location if anything tripped
+    """
+    from jax.experimental import checkify
+
+    if errors is None:
+        errors = checkify.float_checks | checkify.index_checks
+    return checkify.checkify(fn, errors=errors)
+
+
+def assert_finite(tree, name: str = "value") -> None:
+    """Host-side finiteness audit of a pytree (use at stage boundaries:
+    after physics, after render, before writes)."""
+    import numpy as np
+
+    import jax
+
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f" and not np.isfinite(arr).all():
+            bad = int((~np.isfinite(arr)).sum())
+            raise FloatingPointError(
+                f"{name}{jax.tree_util.keystr(path)}: {bad} non-finite values"
+            )
+
+
+if os.environ.get("PEGASUS_TPU_DEBUG_NANS"):
+    enable_nan_debugging()

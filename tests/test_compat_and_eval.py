@@ -235,3 +235,23 @@ def test_engine_simulate_variants(tmp_path, rng):
     assert np.isfinite(pos).all()
     # variants start from different random orientations
     assert np.abs(rot[0, 0, 1] - rot[1, 0, 1]).max() > 1e-3
+
+
+def test_numerics_debug_hooks():
+    """checkify wrapper carries NaN errors as values; assert_finite
+    audits pytrees host-side (SURVEY 5 sanitizer gap)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from pegasus_tpu.utils.observability import assert_finite, checked
+
+    def bad(x):
+        return jnp.log(x) / (x - x.mean())
+
+    err, _ = checked(bad)(jnp.array([0.0, 1.0, 2.0]))
+    with _pytest.raises(Exception):
+        err.throw()
+
+    assert_finite({"ok": jnp.ones(3)})
+    with _pytest.raises(FloatingPointError):
+        assert_finite({"bad": jnp.array([1.0, jnp.nan])}, name="render")
