@@ -93,6 +93,9 @@ def _scene_setup(config, env_list, obj_list, rng, preload, scene_id):
         ),
         simulation_steps=config.simulation_steps,
         seed=int(rng.integers(0, 2**31)),
+        # static capacity must cover rich scenes AND be equal across the
+        # batch (stacked pytrees)
+        max_bodies=max(8, config.max_num_objects + 1),
     )
     engine.add_object(env, start_pos=env.START_POSITION_PYBULLET)
     for obj in selected:

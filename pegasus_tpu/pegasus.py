@@ -162,11 +162,16 @@ class PEGASUS:
         idx = self.rng.choice(len(obj_list), n_objects, replace=False).tolist()
         selected = [obj_list[i] for i in idx]
 
+        from pegasus_tpu.physics.engine import MAX_BODIES
+
         engine = PhysicsEngine(
             asset_folder=self.urdf_asset_folder,
             output_path_json=str(engine_path),
             simulation_steps=self.simulation_steps,
             seed=int(self.rng.integers(0, 2**31)),
+            # auto-size the body capacity: rich scenes (eval config 4,
+            # "30 objects x 5 envs") must not hit the static default cap
+            max_bodies=max(MAX_BODIES, max_num_objects + 1),
         )
         engine.add_object(select_env, start_pos=select_env.START_POSITION_PYBULLET)
         for obj in selected:
