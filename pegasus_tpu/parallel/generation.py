@@ -22,6 +22,7 @@ Call via ``run_generation(config, envs, objs, mesh=mesh)`` or directly:
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import List, Optional
@@ -154,9 +155,6 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
 
 
-import functools
-
-
 @functools.lru_cache(maxsize=16)
 def _make_batch_program(mesh, n_steps: int, rasterize_fn):
     """S scenes x F frames as ONE program: the scene axis is sharded over
@@ -230,8 +228,8 @@ def run_generation_sharded(
     """Generate ``config.num_scenes`` scenes in mesh-sized batches."""
     if mesh is None:
         mesh = make_mesh(axis_names=("scene",))
-    if config.splat_budget is None:
-        raise ValueError("sharded generation requires config.splat_budget")
+    # splat_budget (one static cloud size for every scene) is derived
+    # from the preloaded assets below when the config leaves it unset
     if rasterize_fn is None:
         if jax.default_backend() != "cpu":
             from pegasus_tpu.ops.rasterize_pallas import rasterize_pallas
@@ -264,6 +262,22 @@ def run_generation_sharded(
         obj.mode = "fused"
         preload["objs"][obj.object_name] = load_gs_ply(
             obj.gaussian_point_cloud_path(load_iter)
+        )
+
+    if config.splat_budget is None:
+        env_max = max(
+            int(e["gs"].num_splats) for e in preload["envs"].values()
+        )
+        obj_sizes = sorted(
+            (int(c.num_splats) for c in preload["objs"].values()),
+            reverse=True,
+        )
+        worst = env_max + sum(obj_sizes[: config.max_num_objects])
+        worst += 8 * config.max_num_objects  # placeholder bodies
+        config.splat_budget = -(-worst // 1024) * 1024
+        print(
+            f"[pegasus-tpu] splat_budget auto-set to {config.splat_budget} "
+            f"(max env {env_max} + {config.max_num_objects} largest objects)"
         )
 
     models = {
