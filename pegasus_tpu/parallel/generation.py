@@ -343,16 +343,17 @@ def run_generation_sharded(
             frame_steps,
         )
 
+        # host writes (device->host pull + PNG/JSON) run on the writer
+        # pool so the NEXT batch's setup + device compute overlap them
         k_max = config.max_num_objects
         for s_idx, setup in enumerate(setups[:n_real]):
-            _write_scene(
-                config, setup, models,
-                np.asarray(packed[s_idx]),
-                np.asarray(body_R[s_idx]),
-                np.asarray(body_t[s_idx]),
-                np.asarray(times_t[s_idx]),
-                np.asarray(times_q[s_idx]),
-                k_max,
+            writers.append(
+                write_pool.submit(
+                    _write_scene,
+                    config, setup, models,
+                    packed[s_idx], body_R[s_idx], body_t[s_idx],
+                    times_t[s_idx], times_q[s_idx], k_max,
+                )
             )
         dt = time.perf_counter() - t0
         for setup in setups[:n_real]:
@@ -365,14 +366,23 @@ def run_generation_sharded(
                 n_objects=setup["n_obj"],
             )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     from pegasus_tpu.utils.observability import retry_scene
 
-    for batch_start in range(0, len(scene_ids), n_dev):
-        batch_ids = scene_ids[batch_start : batch_start + n_dev]
-        # bounded retries per batch (SURVEY 5 failure handling; a failed
-        # batch is re-randomized on retry, like the sequential path's
-        # per-scene retry)
-        retry_scene(lambda _sid: one_batch(batch_ids), batch_ids[0])
+    write_pool = ThreadPoolExecutor(max_workers=2)
+    writers = []
+    try:
+        for batch_start in range(0, len(scene_ids), n_dev):
+            batch_ids = scene_ids[batch_start : batch_start + n_dev]
+            # bounded retries per batch (SURVEY 5 failure handling; a
+            # failed batch is re-randomized on retry, like the sequential
+            # path's per-scene retry)
+            retry_scene(lambda _sid: one_batch(batch_ids), batch_ids[0])
+    finally:
+        for fut in writers:
+            fut.result()  # re-raises writer exceptions
+        write_pool.shutdown(wait=True)
     print(f"[pegasus-tpu] sharded generation summary: {stats.summary()}")
     return stats
 
@@ -381,7 +391,14 @@ def _write_scene(
     config, setup, models, packed, body_R, body_t, times_t, times_q, k_max
 ):
     """Host-side BOP write of one scene from device outputs (same schema
-    as the sequential path, reference: pegasus.py:333-396)."""
+    as the sequential path, reference: pegasus.py:333-396).  Runs on the
+    writer pool; the device->host pulls happen here so they overlap the
+    next batch's compute."""
+    packed = np.asarray(packed)
+    body_R = np.asarray(body_R)
+    body_t = np.asarray(body_t)
+    times_t = np.asarray(times_t)
+    times_q = np.asarray(times_q)
     sid = setup["scene_id"]
     n_obj = setup["n_obj"]
     engine = setup["engine"]
