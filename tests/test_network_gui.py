@@ -149,3 +149,61 @@ def test_viewer_serves_renders(tmp_path):
     # the box is red-ish and visible
     assert imgs[0].mean() > 1
     assert imgs[0][..., 0].sum() > imgs[0][..., 2].sum()
+
+
+def test_publish2gui_serves_during_generation(tmp_path):
+    """PEGASUS(publish2gui=True) answers a SIBR client's request while
+    generating frames (reference: pegasus.py:249-279)."""
+    from pegasus_tpu import network_gui as ng
+    from pegasus_tpu.assets.registry import Asset
+    from pegasus_tpu.pegasus import PEGASUS
+    from pegasus_tpu.testing import build_synthetic_dataset
+
+    root = tmp_path / "data"
+    build_synthetic_dataset(root)
+    env = Asset(OBJECT_NAME="asphalt", ID=1003, TYPE="environment",
+                dataset_path=str(root), DROP_REGION=(0.05, 0.05),
+                DROP_HEIGHT=(0.2, 0.25))
+    objs = [Asset(OBJECT_NAME="cup_noodles_04", ID=104, dataset_path=str(root))]
+
+    old_port = PEGASUS.PORT
+    PEGASUS.PORT = 0  # ephemeral
+    try:
+        pegasus = PEGASUS(
+            dataset_path=str(root), env_dataset_path=str(root),
+            urdf_asset_folder=str(root / "urdf"),
+            gs_env_list=[env], gs_object_list=objs,
+            render_height=40, render_width=48, num_cameras=1,
+            simulation_steps=20, num_camera_interpolation_steps=4,
+            mode="static", camera_trajectory_mode="sequence",
+            dataset_base_path=str(tmp_path / "out"), seed=1,
+            publish2gui=True, QUIET=True,
+        )
+        port = ng.listener.getsockname()[1]
+        client = socket.create_connection(("127.0.0.1", port), timeout=10)
+        # queue one camera request BEFORE the frame loop polls
+        w, h = 32, 24
+        R_w2c = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+        W2C = np.eye(4, dtype=np.float32)
+        W2C[:3, :3] = R_w2c
+        W2C[:3, 3] = [0, 0, 1.2]
+        view = W2C.T.copy()
+        view[:, 1] = -view[:, 1]
+        view[:, 2] = -view[:, 2]
+        _client_request(client, w, h, view=view)
+
+        name = "gui_run"
+        pegasus.init_bullet([env], objs, name, 1, 1, 1, random=False)
+        pegasus.init(name, 1)
+        pegasus.init_start_position()
+        pegasus.generate_dataset(["rgb"], save_bop=True, save_video=False)
+        pegasus.save2bop()
+
+        client.settimeout(15)
+        img, verify = _client_read_frame(client, w, h)
+        assert img.shape == (h, w, 3)
+        assert verify == str(root)
+        client.close()
+    finally:
+        PEGASUS.PORT = old_port
+        ng.close()
