@@ -313,6 +313,7 @@ class PEGASUS:
     def _serve_gui(self, body_R, body_t) -> None:
         """Answer one pending SIBR viewer request, non-blocking (the
         reference's per-frame network_gui loop, pegasus.py:249-279)."""
+        import select
         import socket
 
         from pegasus_tpu import network_gui as ng
@@ -324,7 +325,12 @@ class PEGASUS:
             if ng.conn is None:
                 return
         try:
-            ng.conn.settimeout(0.05)
+            # only read when a request is already pending — a poll timeout
+            # mid-message would desync the length-prefixed stream
+            readable, _, _ = select.select([ng.conn], [], [], 0.0)
+            if not readable:
+                return
+            ng.conn.settimeout(2.0)
             cam, _, _, _, _, scaling = ng.receive()
             ng.conn.settimeout(None)
             img_bytes = None
