@@ -4,7 +4,7 @@ Equivalent of the reference's rotating-object viewer loop
 (reference: src/gs/gs_object_rotation.py:49-118, applying Rz(0.05) per
 frame), writing an mp4 instead of streaming to SIBR.
 
-Usage: python examples/rotating_object.py <point_cloud.ply> [out.mp4]
+Usage: python examples/rotating_object.py <point_cloud.ply> [out.mp4] [n_frames] [size]
 """
 
 import sys
@@ -19,6 +19,8 @@ from pegasus_tpu.utils.pose import rotate_z
 def main():
     ply_path = sys.argv[1] if len(sys.argv) > 1 else None
     out = sys.argv[2] if len(sys.argv) > 2 else "rotating_object.mp4"
+    n_frames = int(sys.argv[3]) if len(sys.argv) > 3 else 126
+    size = int(sys.argv[4]) if len(sys.argv) > 4 else 480
     if ply_path:
         cloud = load_gs_ply(ply_path)
     else:
@@ -36,17 +38,17 @@ def main():
     cam = Camera.look_at(
         eye=center + np.array([radius, 0, radius * 0.5]),
         target=center, up=(0, 0, 1),
-        fovx=np.deg2rad(50), fovy=np.deg2rad(50), width=480, height=480,
+        fovx=np.deg2rad(50), fovy=np.deg2rad(50), width=size, height=size,
     )
     render = jax.jit(
         lambda c: rasterize_tiled(c, cam, background=(1.0, 1.0, 1.0)).rgb
     )
 
     writer = cv2.VideoWriter(
-        out, cv2.VideoWriter_fourcc(*"mp4v"), 20, (480, 480)
+        out, cv2.VideoWriter_fourcc(*"mp4v"), 20, (size, size)
     )
     R = rotate_z(0.05)  # the reference's per-frame increment
-    for _ in range(126):  # full revolution
+    for _ in range(n_frames):  # 126 = full revolution
         rgb = np.asarray(np.clip(render(cloud) * 255, 0, 255)).astype(np.uint8)
         writer.write(rgb[:, :, ::-1])
         cloud = cloud.transformed(R, np.zeros(3))
