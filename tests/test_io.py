@@ -68,3 +68,22 @@ def test_colmap_points3d_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(pts2[7].xyz, pts[7].xyz)
     np.testing.assert_array_equal(pts2[7].rgb, pts[7].rgb)
     np.testing.assert_array_equal(pts2[7].image_ids, pts[7].image_ids)
+
+
+def test_o3d_ply_roundtrip(tmp_path):
+    """save_o3d_ply writes a plain xyz/rgb cloud readable by the generic
+    vertex reader (the reference's point_cloud_o3d.ply companion)."""
+    import numpy as np
+
+    from pegasus_tpu.gs.ply import read_ply_vertex_data, save_o3d_ply
+    from pegasus_tpu.testing import make_box_cloud
+
+    cloud = make_box_cloud(np.random.default_rng(0), n=128, rgb=(0.8, 0.2, 0.1))
+    path = tmp_path / "point_cloud_o3d.ply"
+    save_o3d_ply(cloud, str(path))
+    v = read_ply_vertex_data(str(path))
+    assert len(v["x"]) == 128
+    np.testing.assert_allclose(v["x"], np.asarray(cloud.xyz)[:, 0], atol=1e-6)
+    # colors decode back to the source rgb (uint8 rounding)
+    assert abs(float(np.mean(v["red"])) / 255.0 - 0.8) < 0.03
+    assert v["red"].mean() > v["blue"].mean()
