@@ -1,0 +1,128 @@
+"""Training-step benchmark on real TPU: Pallas custom-VJP pair vs tiled.
+
+Measures ms/step of the FULL GSTrainer.train_step (forward + backward +
+Adam + densify-stat probe) at realistic training shapes, and checks
+gradient parity between the Pallas backward kernel and the tiled XLA
+backend's autodiff on the same scene (BASELINE: fast train-side
+rasterization is the one reference capability — the CUDA rasterizer's
+hand-written backward — that needs a first-party TPU equivalent).
+
+Usage: python benchmarks/train_step_tpu.py [--out report.json]
+Emits JSON: {resolution, capacity, pallas_ms_per_step, tiled_ms_per_step,
+speedup, grad_cosine_min, iters_per_s, sec_per_30k_iters}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    if na == 0 and nb == 0:
+        return 1.0
+    if na == 0 or nb == 0:
+        return 0.0
+    return float(a @ b) / (na * nb)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--capacity", type=int, default=200_000)
+    ap.add_argument("--splats", type=int, default=150_000)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--skip-tiled", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pegasus_tpu.camera import Camera
+    from pegasus_tpu.testing import make_box_cloud
+    from pegasus_tpu.training.trainer import GSTrainer, TrainConfig
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(7)
+    cloud = make_box_cloud(
+        rng, n=args.splats, half_extents=(0.15, 0.15, 0.18),
+        rgb=(0.6, 0.4, 0.3), object_id=0,
+    )
+    cam = Camera.look_at(
+        eye=(0.6, 0.45, 0.5), target=(0, 0, 0), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(55),
+        width=args.width, height=args.height,
+    )
+    gt = jnp.zeros((args.height, args.width, 3), jnp.float32) + 0.3
+
+    config = TrainConfig(capacity=args.capacity)
+    report = {
+        "platform": platform,
+        "resolution": f"{args.width}x{args.height}",
+        "capacity": args.capacity,
+        "live_splats": args.splats,
+    }
+
+    def time_backend(backend):
+        trainer = GSTrainer(
+            config, width=args.width, height=args.height, backend=backend
+        )
+        state = trainer.init_state(cloud, spatial_lr_scale=0.5)
+        t0 = time.time()
+        state, m = trainer.train_step(state, cam, gt)  # compile
+        _ = float(m["loss"])
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _i in range(args.iters):
+            state, m = trainer.train_step(state, cam, gt)
+        _ = float(m["loss"])
+        dt = (time.time() - t0) / args.iters
+        return trainer, state, dt, compile_s
+
+    print("[train-bench] timing pallas backend...", file=sys.stderr)
+    backend = "pallas" if platform != "cpu" else "pallas_interpret"
+    tr_p, st_p, dt_p, comp_p = time_backend(backend)
+    report["pallas_ms_per_step"] = round(dt_p * 1e3, 2)
+    report["pallas_compile_s"] = round(comp_p, 1)
+    report["iters_per_s"] = round(1.0 / dt_p, 1)
+    report["sec_per_30k_iters"] = round(30_000 * dt_p, 1)
+
+    if not args.skip_tiled:
+        print("[train-bench] timing tiled backend...", file=sys.stderr)
+        tr_t, st_t, dt_t, comp_t = time_backend("tiled")
+        report["tiled_ms_per_step"] = round(dt_t * 1e3, 2)
+        report["speedup_vs_tiled"] = round(dt_t / dt_p, 2)
+
+        # gradient parity on identical state (full param set + probe)
+        print("[train-bench] grad parity...", file=sys.stderr)
+        s0 = tr_p.init_state(cloud, spatial_lr_scale=0.5)
+        _, _, gp, op = tr_p._loss_and_grads(s0, cam, gt)
+        _, _, gt_, ot = tr_t._loss_and_grads(s0, cam, gt)
+        cosines = {
+            name: _cos(gp[name], gt_[name]) for name in gp
+        }
+        cosines["mean2d_probe"] = _cos(op, ot)
+        report["grad_cosines"] = {k: round(v, 6) for k, v in cosines.items()}
+        report["grad_cosine_min"] = round(min(cosines.values()), 6)
+
+    print(json.dumps(report))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -6,33 +6,102 @@ Front-to-back alpha compositing is associative under the 'over' operator:
 
 so a depth-sorted splat array split into contiguous shards composites
 locally per device and then reduces ACROSS devices in shard order — the
-tensor-parallel analog for scenes too large for one chip's HBM, with one
-log-depth combine on the ICI instead of any splat traffic.
+tensor-parallel analog for scenes too large for one chip's HBM.
 
 This generalizes to every channel the renderer emits:
   * premultiplied accumulations (rgb, depth, alpha, seg, vis) combine as
-    acc = acc_near + T_near * acc_far;
+    acc = acc_near + T_near * acc_far (vis channels with their own
+    environment-excluded transmittance);
   * amodal log-transmittances combine additively.
 
-Implementation: shard_map over the 'splat' mesh axis; each shard runs the
-golden compositor on its slice (any backend works — the math contract is
-RenderOutputs + transmittances), then an all_gather of per-shard tile
-accumulators followed by an ordered fold.
+Implementation: shard_map over the 'splat' mesh axis; each shard runs a
+selectable compositor backend on its slice — 'golden' (per-pixel oracle),
+'tiled' (XLA), or 'pallas' (the fused TPU kernel) — then the per-shard
+frames reduce with an ORDERED BUTTERFLY: log2(n) ppermute exchanges of one
+shard-local payload each, where the lower-indexed half of every block is
+the 'near' operand.  Each step halves the number of distinct partial
+composites while every device carries its block's result, so after
+log2(n) steps all devices hold the full frame — total traffic
+log2(n) x |frame| per device instead of the (n-1) x |frame| an all_gather
+ships, and no [n, H, W, C] gathered buffer is ever materialized.
 """
 
 from __future__ import annotations
 
-import functools
+import math
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from pegasus_tpu.camera import Camera
 from pegasus_tpu.gs.cloud import GaussianCloud
 from pegasus_tpu.ops.projection import project_gaussians
 from pegasus_tpu.ops.rasterize_ref import RenderOutputs
+
+
+def _local_render(backend, proj_shard, width, height, k, chunk, interpret):
+    """One shard's composite as a [H, W, 5+3K+2] payload."""
+    if backend == "golden":
+        from pegasus_tpu.ops.rasterize_ref import rasterize_projected
+
+        out = rasterize_projected(
+            proj_shard, width, height,
+            background=jnp.zeros(3, jnp.float32),
+            max_objects=k, chunk=chunk,
+        )
+    elif backend == "tiled":
+        from pegasus_tpu.ops.rasterize_tiled import rasterize_projected_tiled
+
+        out = rasterize_projected_tiled(
+            proj_shard, width, height, jnp.zeros(3, jnp.float32),
+            max_objects=k, chunk=chunk,
+        )
+    elif backend == "pallas":
+        from pegasus_tpu.ops.pallas_vjp import rasterize_projected_pallas
+
+        out = rasterize_projected_pallas(
+            proj_shard, width, height, jnp.zeros(3, jnp.float32),
+            max_objects=k, chunk=chunk, interpret=interpret,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    t_full = (1.0 - out.alpha)[..., None]
+    # vis channels need their own transmittance: environment-excluded
+    # weights are overlap-free, so their sum = 1 - t_noenv exactly
+    t_ne = 1.0 - jnp.sum(out.vis_weights, axis=-1, keepdims=True)
+    amodal_log = jnp.log1p(-jnp.clip(out.amodal, 0.0, 1.0 - 1e-7))
+    return jnp.concatenate(
+        [
+            out.rgb,
+            out.depth[..., None],
+            out.alpha[..., None],
+            out.seg_weights,
+            out.vis_weights,
+            amodal_log,
+            t_full,
+            t_ne,
+        ],
+        axis=-1,
+    )  # [H, W, 5 + 3K + 2]
+
+
+def _over(near, far, k):
+    """Ordered associative combine of two packed payloads."""
+    acc_n = near[..., : 5 + 2 * k]
+    acc_f = far[..., : 5 + 2 * k]
+    tf_n = near[..., 5 + 3 * k : 5 + 3 * k + 1]
+    tn_n = near[..., 5 + 3 * k + 1 : 5 + 3 * k + 2]
+    full = acc_n[..., : 5 + k] + tf_n * acc_f[..., : 5 + k]
+    vis = acc_n[..., 5 + k :] + tn_n * acc_f[..., 5 + k :]
+    amodal = (
+        near[..., 5 + 2 * k : 5 + 3 * k] + far[..., 5 + 2 * k : 5 + 3 * k]
+    )
+    tf = tf_n * far[..., 5 + 3 * k : 5 + 3 * k + 1]
+    tn = tn_n * far[..., 5 + 3 * k + 1 : 5 + 3 * k + 2]
+    return jnp.concatenate([full, vis, amodal, tf, tn], axis=-1)
 
 
 def rasterize_splat_sharded(
@@ -43,18 +112,23 @@ def rasterize_splat_sharded(
     background=(0.0, 0.0, 0.0),
     max_objects: int = 8,
     chunk: int = 256,
+    backend: str = "golden",
+    interpret: bool = False,
 ) -> RenderOutputs:
     """Render with the splat axis sharded over `axis`.
 
     The cloud must be padded so num_splats % axis_size == 0 (use
     GaussianCloud.padded).  Splats are depth-sorted globally first so each
-    shard owns a depth-contiguous segment; the ordered cross-shard 'over'
-    fold then reproduces sequential compositing exactly.
-    """
+    shard owns a depth-contiguous segment; the ordered butterfly combine
+    then reproduces sequential compositing exactly (shard order = depth
+    order, and every device evaluates the identical reduction tree, so
+    the result is bitwise replicated)."""
     n_shards = mesh.shape[axis]
     n = cloud.num_splats
     if n % n_shards:
         raise ValueError(f"pad splats ({n}) to a multiple of {n_shards}")
+    if n_shards & (n_shards - 1):
+        raise ValueError(f"axis size {n_shards} must be a power of two")
 
     proj = project_gaussians(cloud, cam)
     # global depth order -> contiguous shards are depth-contiguous
@@ -63,74 +137,35 @@ def rasterize_splat_sharded(
 
     width, height = cam.width, cam.height
     k = max_objects
+    steps = int(math.log2(n_shards))
 
     def shard_fn(proj_shard):
-        from pegasus_tpu.ops.rasterize_ref import rasterize_projected
-
-        out = rasterize_projected(
-            proj_shard, width, height,
-            background=jnp.zeros(3, jnp.float32),
-            max_objects=k, chunk=chunk,
+        payload = _local_render(
+            backend, proj_shard, width, height, k, chunk, interpret
         )
-        t_full = (1.0 - out.alpha)[..., None]
-        # vis channels need their own transmittance: environment-excluded
-        # accumulated alpha = sum over objects of vis weights is NOT the
-        # alpha (weights overlap-free, sum = 1 - t_ne). Recover exactly:
-        t_ne = 1.0 - jnp.sum(out.vis_weights, axis=-1, keepdims=True)
-        amodal_log = jnp.log1p(-jnp.clip(out.amodal, 0.0, 1.0 - 1e-7))
-        payload = jnp.concatenate(
-            [
-                out.rgb,
-                out.depth[..., None],
-                out.alpha[..., None],
-                out.seg_weights,
-                out.vis_weights,
-                amodal_log,
-                t_full,
-                t_ne,
-            ],
-            axis=-1,
-        )  # [H, W, 5 + 3K + 2]
-        # gather every shard's payload along a new leading axis
-        return jax.lax.all_gather(payload, axis)
+        idx = jax.lax.axis_index(axis)
+        for s in range(steps):
+            d = 1 << s
+            perm = [(i, i ^ d) for i in range(n_shards)]
+            other = jax.lax.ppermute(payload, axis, perm)
+            lower = (idx & d) == 0
+            near = jnp.where(lower, payload, other)
+            far = jnp.where(lower, other, payload)
+            payload = _over(near, far, k)
+        return payload
 
     specs = P(axis)
-    gathered = shard_map(
+    payload = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(jax.tree.map(lambda _: specs, proj),),
-        out_specs=P(None),
+        out_specs=P(),
         check_vma=False,
     )(proj)
-    # gathered: [n_shards, H, W, C] identical on every device
 
-    def over(near, far):
-        acc_n, am_n, tf_n, tn_n = near
-        acc_f, am_f, tf_f, tn_f = far
-        # premultiplied channels: full-scene ones scale by t_full,
-        # env-free vis channels scale by t_noenv
-        full_part = acc_n[..., : 5 + k] + tf_n * acc_f[..., : 5 + k]
-        vis_part = acc_n[..., 5 + k : 5 + 2 * k] + tn_n * acc_f[..., 5 + k : 5 + 2 * k]
-        return (
-            jnp.concatenate([full_part, vis_part], axis=-1),
-            am_n + am_f,
-            tf_n * tf_f,
-            tn_n * tn_f,
-        )
-
-    def unpack(i):
-        g = gathered[i]
-        return (
-            g[..., : 5 + 2 * k],
-            g[..., 5 + 2 * k : 5 + 3 * k],
-            g[..., 5 + 3 * k : 5 + 3 * k + 1],
-            g[..., 5 + 3 * k + 1 : 5 + 3 * k + 2],
-        )
-
-    state = unpack(0)
-    for i in range(1, n_shards):
-        state = over(state, unpack(i))
-    acc, amodal_log, t_full, _t_ne = state
+    acc = payload[..., : 5 + 2 * k]
+    amodal_log = payload[..., 5 + 2 * k : 5 + 3 * k]
+    t_full = payload[..., 5 + 3 * k : 5 + 3 * k + 1]
 
     background = jnp.asarray(background, jnp.float32)
     rgb = acc[..., 0:3] + t_full * background[None, None, :]

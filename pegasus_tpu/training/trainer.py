@@ -128,12 +128,23 @@ class GSTrainer:
         height: int = 128,
         background=(0.0, 0.0, 0.0),
         max_per_tile: int = 1024,
+        backend: str = "auto",
     ):
+        """backend: 'tiled' (XLA, portable), 'pallas' (fused TPU forward +
+        custom-VJP backward kernels, ops/pallas_vjp.py), or 'auto'
+        (pallas on TPU, tiled elsewhere).  The reference's single CUDA
+        rasterizer serves both generation and training; the Pallas pair is
+        its train-side equivalent here."""
         self.config = config
         self.width = width
         self.height = height
         self.background = jnp.asarray(background, jnp.float32)
         self.max_per_tile = max_per_tile
+        if backend == "auto":
+            backend = (
+                "pallas" if jax.devices()[0].platform == "tpu" else "tiled"
+            )
+        self.backend = backend
         if render_fn is None:
             from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
 
@@ -304,11 +315,12 @@ class GSTrainer:
 
     def _render_with_offset(self, cloud, cam, mean2d_offset, active_deg):
         """Differentiable render with a screen-space offset injected after
-        projection (the gradient probe for densification).  Runs on the
-        TILED XLA backend — fully differentiable (the sort order and tile
-        keys are constants w.r.t. the parameters, exactly like the CUDA
-        backward treats its binning) and an order of magnitude faster
-        than the per-pixel golden compositor on real training shapes."""
+        projection (the gradient probe for densification).  Backend
+        'tiled' = XLA compositing (portable); 'pallas' = the fused
+        forward + custom-VJP backward kernel pair (ops/pallas_vjp.py) —
+        the fast path at real training resolutions.  In both, the sort
+        order and tile keys are constants w.r.t. the parameters, exactly
+        like the CUDA backward treats its binning."""
         from pegasus_tpu.ops.projection import project_gaussians
         from pegasus_tpu.ops.rasterize_tiled import rasterize_projected_tiled
 
@@ -325,6 +337,15 @@ class GSTrainer:
             mean_x=proj.mean_x + mean2d_offset[:, 0],
             mean_y=proj.mean_y + mean2d_offset[:, 1],
         )
+        if self.backend.startswith("pallas"):
+            from pegasus_tpu.ops.pallas_vjp import rasterize_projected_pallas
+
+            return rasterize_projected_pallas(
+                proj, self.width, self.height, self.background,
+                max_objects=1,
+                big_budget=min(16384, self.config.capacity),
+                interpret=self.backend == "pallas_interpret",
+            )
         return rasterize_projected_tiled(
             proj, self.width, self.height, self.background,
             max_objects=1, max_per_tile=self.max_per_tile,

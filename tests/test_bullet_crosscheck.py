@@ -143,8 +143,36 @@ def test_rest_position_near_bullet(bullet_run, jax_run):
     t_ref, _ = bullet_run
     pos, linvel, angvel = jax_run
     drift = np.linalg.norm(pos[-1, :2] - t_ref[-1, :2])
-    assert drift < 0.15, f"horizontal rest drift {drift:.3f} m vs Bullet"
+    # r3 tightened gate (was 150 mm; measured 37 mm)
+    assert drift < 0.06, f"horizontal rest drift {drift:.3f} m vs Bullet"
     # settled (Bullet's own recording still moves ~0.06 m/s at the end)
     assert np.linalg.norm(linvel) < 0.25
     # no tunneling at any time
     assert pos[:, 2].min() > 0.0
+
+
+def test_rest_configuration_in_bullet_stable_set(bullet_run, jax_run):
+    """12 mm configuration gate: the final rest HEIGHT must match one of
+    the height-stable configurations Bullet's own recording visits.
+
+    The recorded cup passes through two quasi-static states — lying/
+    upside-down (z ~= 0.0414, records around 50%) and rim-balanced tilted
+    (z ~= 0.0613, the endpoint) — and chaos decides which one a given
+    tumble ends in.  Contact-geometry parity means our rest configuration
+    must be IN that set within 12 mm; attractor CHOICE after a chaotic
+    tumble is not gated (the 25 mm endpoint gate above covers the
+    worst-case distance between the states themselves)."""
+    t_ref, _ = bullet_run
+    pos, _, _ = jax_run
+    z = t_ref[:, 2]
+    # height-stable plateaus of the recording: windows where z moves < 1 mm
+    w = 50
+    zw = np.lib.stride_tricks.sliding_window_view(z, w)
+    stable = zw[np.ptp(zw, axis=1) < 1e-3].mean(axis=1)
+    assert stable.size, "fixture has no stable plateaus?"
+    z_rest = pos[-1, 2]
+    gap = np.abs(stable - z_rest).min()
+    assert gap < 0.012, (
+        f"rest z {z_rest:.4f} is {gap * 1e3:.1f} mm from Bullet's nearest "
+        f"stable configuration (set: {np.unique(np.round(stable, 4))})"
+    )

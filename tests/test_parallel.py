@@ -57,6 +57,26 @@ def test_splat_sharded_matches_golden(scene_and_cam):
         assert psnr(getattr(ref, name), getattr(shd, name)) > 40, name
 
 
+@pytest.mark.parametrize("backend", ["tiled", "pallas"])
+def test_splat_sharded_fast_backends(scene_and_cam, backend):
+    """The splat-MP path runs the FAST compositors shard-locally and the
+    log-depth butterfly combine (VERDICT r2 item 4: the MP axis must not
+    be pinned to the golden compositor)."""
+    scene, cam = scene_and_cam
+    mesh = make_mesh((4,), ("splat",), jax.devices()[:4])
+    pad = (-scene.num_splats) % 4
+    padded = scene.padded(scene.num_splats + pad)
+
+    ref = rasterize_reference(scene, cam, background=(0.2, 0.1, 0.3), max_objects=4)
+    shd = rasterize_splat_sharded(
+        padded, cam, mesh, background=(0.2, 0.1, 0.3), max_objects=4,
+        chunk=128, backend=backend, interpret=True,
+    )
+    assert psnr(ref.rgb, shd.rgb) > 40, backend
+    for name in ("seg_weights", "vis_weights", "amodal", "alpha"):
+        assert psnr(getattr(ref, name), getattr(shd, name)) > 40, (backend, name)
+
+
 def test_scene_batch_sharding(scene_and_cam):
     """Scene-axis DP: vmapped renders over a sharded scene batch."""
     scene, cam = scene_and_cam
