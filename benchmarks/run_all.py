@@ -260,7 +260,7 @@ def main(argv=None):
         (2, "config2_physics_placement", lambda: bench_physics_placement(rng)),
         (3, "config3_dynamic_hd", lambda: bench_dynamic_hd(rng, iters)),
         (4, "config4_batch", lambda: bench_batch(rng, iters)),
-        (5, "config5_variants", lambda: bench_variants(rng, 8 if args.quick else 64)),
+        (5, "config5_variants", lambda: bench_variants(rng, 8 if args.quick else 1000)),
     ]:
         if num not in selected:
             continue

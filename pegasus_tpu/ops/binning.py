@@ -91,6 +91,7 @@ def bin_splats(
     big_budget: int = 16384,
     a_big: int = 36,
     lane_pad: int = 1024,
+    entry_cap: int | None = None,
 ) -> TileBins:
     n = proj.mean_x.shape[0]
     ntx = -(-width // tile)
@@ -162,20 +163,22 @@ def bin_splats(
     )  # [N, a_small]
 
     # -- big bucket: top big_budget splats by area emit (bbox minus core) -----
-    # Compaction rides a small payload sort (per-element gathers measured
-    # ~1.7 us EACH on TPU; sorts move payload columns at vector speed).
+    # Compaction sorts ONLY (key, index) — 2 operands — and row-gathers the
+    # 7 remaining columns for just the big_budget winners afterwards (32k-row
+    # gathers are ~100x cheaper than carrying 7 extra payload columns through
+    # a 1M-element sort: measured 7.6 ms -> ~1 ms at N=1M on v5e).
     big_key_order = jnp.where(area > a_small, -area, 1)
-    compact = jax.lax.sort(
-        (big_key_order, tx0, ty0, w_t, h_t, rank_q,
-         jnp.arange(n, dtype=jnp.int32), mx, my),
-        num_keys=1,
+    _, b_idx = jax.lax.sort(
+        (big_key_order, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=2,  # index as tiebreak: deterministic winner set
         is_stable=False,
     )
-    sl = lambda x: x[:big_budget]
-    b_isbig = sl(compact[0]) < 0
-    b_tx0, b_ty0, b_w, b_h, b_rank = (sl(c) for c in compact[1:6])
-    b_idx = sl(compact[6])
-    b_mx, b_my = sl(compact[7]), sl(compact[8])
+    b_idx = b_idx[:big_budget]
+    b_isbig = area[b_idx] > a_small
+    b_tx0, b_ty0 = tx0[b_idx], ty0[b_idx]
+    b_w, b_h = w_t[b_idx], h_t[b_idx]
+    b_rank = rank_q[b_idx]
+    b_mx, b_my = mx[b_idx], my[b_idx]
 
     bc_tx0, bc_ty0, bc_w, bc_h = core_window(b_tx0, b_ty0, b_w, b_h, b_mx, b_my)
     # clamp oversized bboxes around the core (same shrink rule, cap a_big)
@@ -228,20 +231,33 @@ def bin_splats(
     # splat index (run-to-run and backend-to-backend reproducible)
     sorted_key, sorted_src = jax.lax.sort((keys, vals), num_keys=2,
                                           is_stable=False)
-    m_total = keys.shape[0]
+    if entry_cap is not None and entry_cap < sorted_key.shape[0]:
+        # static truncation: sentinel (invalid) entries sort PAST every live
+        # one, so with cap >= live count this is free compaction.  If a
+        # pathological scene overflows the cap, entries of the HIGHEST tile
+        # ids are lost (bottom image rows) — callers enabling this must gate
+        # parity (bench.py does, every round, at both 210k and 1M).
+        sorted_key = sorted_key[:entry_cap]
+        sorted_src = sorted_src[:entry_cap]
 
     entry_tile = (sorted_key >> depth_bits).astype(jnp.int32)
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(entry_tile, tile_ids, side="left").astype(jnp.int32)
-    seg_end = jnp.searchsorted(entry_tile, tile_ids, side="right").astype(jnp.int32)
+    # one searchsorted over 0..n_tiles: tile t's segment is
+    # [bounds[t], bounds[t+1]) — sorted keys make right(t) == left(t+1)
+    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(entry_tile, tile_ids, side="left").astype(
+        jnp.int32
+    )
+    seg_start, seg_end = bounds[:-1], bounds[1:]
 
     cols = _pack_columns(proj)
     packed = jnp.stack(cols, axis=1)  # [N, 16]
     packed = jnp.concatenate(
         [packed, jnp.zeros((1, PARAM_DIM), jnp.float32)], axis=0
     )
-    params_t = packed[sorted_src].T  # [16, M]
-    params_t = jnp.pad(params_t, ((0, 0), (0, lane_pad)))
+    # pad the INDICES (a few hundred i32) instead of the [16, M] matrix —
+    # index n hits the zero dummy row, so the lane tail is zeros either way
+    src_pad = jnp.pad(sorted_src, (0, lane_pad), constant_values=n)
+    params_t = packed[src_pad].T  # [16, M + lane_pad]
 
     return TileBins(
         params_t=params_t,

@@ -346,6 +346,7 @@ def rasterize_pallas(
     a_small: int | None = None,
     big_budget: int | None = None,
     a_big: int | None = None,
+    entry_cap: int | None = None,
     interpret: bool = False,
     tiles_per_program: int = 1,
 ) -> RenderOutputs:
@@ -363,11 +364,17 @@ def rasterize_pallas(
         big_budget = 32768 if cloud.num_splats > LARGE_SCENE_SPLATS else 16384
     if a_big is None:
         a_big = 16 if cloud.num_splats > LARGE_SCENE_SPLATS else 36
+    if entry_cap is None and cloud.num_splats > LARGE_SCENE_SPLATS:
+        # sort slots are ~2x the live entry count at 1M splats (most are
+        # subpixel: measured live ~1.33M of 2.52M slots); truncating the
+        # sorted entries to 1.8N cuts the dominant post-sort gather ~30%.
+        # Graceful only up to the cap — bench parity-gates 1M every round.
+        entry_cap = int(1.8 * cloud.num_splats)
     proj = project_gaussians(cloud, cam, sh_degree, scaling_modifier)
     bins = bin_splats(
         proj, cam.width, cam.height, tile=tile,
         a_small=a_small, big_budget=min(big_budget, cloud.num_splats),
-        a_big=a_big, lane_pad=chunk + 2 * _ALIGN,
+        a_big=a_big, lane_pad=chunk + 2 * _ALIGN, entry_cap=entry_cap,
     )
     return composite_tiles_pallas(
         bins,
