@@ -214,23 +214,31 @@ def bench_variants(rng, n_variants):
     cam = _cam(320, 240)
     n_dev = len(jax.devices())
     mesh = make_mesh((n_dev,), ("scene",))
+    # memory-bounded chunks: 125 variants/device (the v5e-8 layout for the
+    # 1000-variant spec: one shard_map call of 1000 = 125/chip; a single
+    # chip runs the SAME 125-wide program sequentially — frames at
+    # 240x320x3 f32 would be 39 GB for 1000 variants in one buffer)
+    chunk = min(n_variants, 125 * n_dev)
+    n_chunks = -(-n_variants // chunk)
     res = generate_scene_variants(
-        template, params, cam, n_variants=n_variants, n_steps=150, mesh=mesh,
+        template, params, cam, n_variants=chunk, n_steps=150, mesh=mesh,
         max_objects=4,
     )
     _sync(res.rgb)
     t0 = time.time()
-    res = generate_scene_variants(
-        template, params, cam, n_variants=n_variants, n_steps=150, mesh=mesh,
-        max_objects=4, seed=1,
-    )
-    _sync(res.rgb)
+    for i in range(n_chunks):
+        res = generate_scene_variants(
+            template, params, cam, n_variants=chunk, n_steps=150, mesh=mesh,
+            max_objects=4, seed=1 + i,
+        )
+        _sync(res.rgb)
     dt = time.time() - t0
     return {
-        "variants": n_variants,
+        "variants": chunk * n_chunks,
         "devices": n_dev,
+        "chunk": chunk,
         "seconds": dt,
-        "variants_per_s": n_variants / dt,
+        "variants_per_s": chunk * n_chunks / dt,
     }
 
 

@@ -151,16 +151,21 @@ def bin_splats(
         return c_tx0, c_ty0, c_w, c_h
 
     # -- small bucket: EVERY splat emits its core window ----------------------
+    # layout: [a_small, N] (slot-major).  The minor dim must be the LONG
+    # axis — a [N, a_small] array pads its 2-4 lane columns to 128 on TPU
+    # (a 512 MB physical array at N=1M, measured ~14 ms of the frame); the
+    # transposed form is exactly N lanes per slot row.  Entry order within
+    # the sort input is irrelevant: the (key, src) 2-key sort canonicalizes.
     c_tx0, c_ty0, c_w, c_h = core_window(tx0, ty0, w_t, h_t, mx, my)
-    slot = jnp.arange(a_small, dtype=jnp.int32)[None, :]
-    s_txs = c_tx0[:, None] + slot % c_w[:, None]
-    s_tys = c_ty0[:, None] + slot // c_w[:, None]
-    s_valid = (slot < (c_w * c_h)[:, None]) & (area > 0)[:, None]
+    slot = jnp.arange(a_small, dtype=jnp.int32)[:, None]  # [a_small, 1]
+    s_txs = c_tx0[None, :] + slot % c_w[None, :]
+    s_tys = c_ty0[None, :] + slot // c_w[None, :]
+    s_valid = (slot < (c_w * c_h)[None, :]) & (area > 0)[None, :]
     small_key = jnp.where(
         s_valid,
-        ((s_tys * ntx + s_txs) << depth_bits) | rank_q[:, None],
+        ((s_tys * ntx + s_txs) << depth_bits) | rank_q[None, :],
         sentinel,
-    )  # [N, a_small]
+    )  # [a_small, N]
 
     # -- big bucket: top big_budget splats by area emit (bbox minus core) -----
     # Compaction sorts ONLY (key, index) — 2 operands — and row-gathers the
@@ -194,23 +199,24 @@ def bin_splats(
     e_w = jnp.where(over_b, jnp.minimum(big_side, ntx - e_tx0), b_w)
     e_h = jnp.where(over_b, jnp.minimum(a_big // big_side, nty - e_ty0), b_h)
 
-    bslot = jnp.arange(a_big, dtype=jnp.int32)[None, :]
-    b_txs = e_tx0[:, None] + bslot % e_w[:, None]
-    b_tys = e_ty0[:, None] + bslot // e_w[:, None]
+    # same slot-major layout as the small bucket: [a_big, big_budget]
+    bslot = jnp.arange(a_big, dtype=jnp.int32)[:, None]  # [a_big, 1]
+    b_txs = e_tx0[None, :] + bslot % e_w[None, :]
+    b_tys = e_ty0[None, :] + bslot // e_w[None, :]
     in_core = (
-        (b_txs >= bc_tx0[:, None])
-        & (b_txs < (bc_tx0 + bc_w)[:, None])
-        & (b_tys >= bc_ty0[:, None])
-        & (b_tys < (bc_ty0 + bc_h)[:, None])
+        (b_txs >= bc_tx0[None, :])
+        & (b_txs < (bc_tx0 + bc_w)[None, :])
+        & (b_tys >= bc_ty0[None, :])
+        & (b_tys < (bc_ty0 + bc_h)[None, :])
     )
     b_valid = (
-        (bslot < (e_w * e_h)[:, None]) & ~in_core & b_isbig[:, None]
+        (bslot < (e_w * e_h)[None, :]) & ~in_core & b_isbig[None, :]
     )
     big_key = jnp.where(
         b_valid,
-        ((b_tys * ntx + b_txs) << depth_bits) | b_rank[:, None],
+        ((b_tys * ntx + b_txs) << depth_bits) | b_rank[None, :],
         sentinel,
-    )  # [big_budget, a_big]
+    )  # [a_big, big_budget]
 
     keys = jnp.concatenate([small_key.reshape(-1), big_key.reshape(-1)])
 
@@ -219,9 +225,9 @@ def bin_splats(
     # index payload and the 16 param fields are row-gathered afterwards —
     # 7.8 ms total vs 14-21 ms for a 13-payload sort)
     small_val = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], small_key.shape
+        jnp.arange(n, dtype=jnp.int32)[None, :], small_key.shape
     ).reshape(-1)
-    big_val = jnp.broadcast_to(b_idx[:, None], big_key.shape).reshape(-1)
+    big_val = jnp.broadcast_to(b_idx[None, :], big_key.shape).reshape(-1)
     vals = jnp.concatenate([small_val, big_val])
     vals = jnp.where(keys == sentinel, n, vals)  # dummy row for invalids
 

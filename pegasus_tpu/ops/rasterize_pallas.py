@@ -366,10 +366,12 @@ def rasterize_pallas(
         a_big = 16 if cloud.num_splats > LARGE_SCENE_SPLATS else 36
     if entry_cap is None and cloud.num_splats > LARGE_SCENE_SPLATS:
         # sort slots are ~2x the live entry count at 1M splats (most are
-        # subpixel: measured live ~1.33M of 2.52M slots); truncating the
-        # sorted entries to 1.8N cuts the dominant post-sort gather ~30%.
+        # subpixel: measured live 1.336M of 2.52M slots); truncating the
+        # sorted entries to 1.5N cuts the dominant post-sort gather ~40%
+        # (cap sweep on v5e: 1.4N holds full 46.2 dB parity, 1.3N breaks;
+        # 1.5N keeps a ~165k-entry margin for denser viewpoints).
         # Graceful only up to the cap — bench parity-gates 1M every round.
-        entry_cap = int(1.8 * cloud.num_splats)
+        entry_cap = int(1.5 * cloud.num_splats)
     proj = project_gaussians(cloud, cam, sh_degree, scaling_modifier)
     bins = bin_splats(
         proj, cam.width, cam.height, tile=tile,
