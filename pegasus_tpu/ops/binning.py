@@ -56,6 +56,12 @@ class TileBins(NamedTuple):
     n_tiles_x: int
     n_tiles_y: int
     tile: int
+    # scalar bool: live entries exceeded entry_cap, so the HIGHEST tile
+    # ids (bottom image rows) were truncated.  Always False when
+    # entry_cap is None.  Callers that enable capping on untested scene
+    # shapes should surface this (the bench parity gate covers the
+    # shipped defaults every round).
+    overflow: jnp.ndarray = jnp.asarray(False)
 
 
 def _pack_columns(proj: ProjectedGaussians):
@@ -237,12 +243,16 @@ def bin_splats(
     # splat index (run-to-run and backend-to-backend reproducible)
     sorted_key, sorted_src = jax.lax.sort((keys, vals), num_keys=2,
                                           is_stable=False)
+    overflow = jnp.asarray(False)
     if entry_cap is not None and entry_cap < sorted_key.shape[0]:
         # static truncation: sentinel (invalid) entries sort PAST every live
         # one, so with cap >= live count this is free compaction.  If a
         # pathological scene overflows the cap, entries of the HIGHEST tile
         # ids are lost (bottom image rows) — callers enabling this must gate
-        # parity (bench.py does, every round, at both 210k and 1M).
+        # parity (bench.py does, every round, at both 210k and 1M) or check
+        # the overflow flag (the first entry PAST the cap being live means
+        # at least one live entry was dropped).
+        overflow = sorted_key[entry_cap] != sentinel
         sorted_key = sorted_key[:entry_cap]
         sorted_src = sorted_src[:entry_cap]
 
@@ -272,4 +282,5 @@ def bin_splats(
         n_tiles_x=ntx,
         n_tiles_y=nty,
         tile=tile,
+        overflow=overflow,
     )

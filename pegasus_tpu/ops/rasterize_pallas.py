@@ -332,6 +332,7 @@ def composite_tiles_pallas(
 
 
 LARGE_SCENE_SPLATS = 500_000
+MEDIUM_SCENE_SPLATS = 300_000
 
 
 def rasterize_pallas(
@@ -370,8 +371,16 @@ def rasterize_pallas(
         # sorted entries to 1.5N cuts the dominant post-sort gather ~40%
         # (cap sweep on v5e: 1.4N holds full 46.2 dB parity, 1.3N breaks;
         # 1.5N keeps a ~165k-entry margin for denser viewpoints).
-        # Graceful only up to the cap — bench parity-gates 1M every round.
+        # Graceful only up to the cap — bench parity-gates 1M every round,
+        # and TileBins.overflow flags any live-entry truncation.
         entry_cap = int(1.5 * cloud.num_splats)
+    elif entry_cap is None and cloud.num_splats > MEDIUM_SCENE_SPLATS:
+        # mid-size tier (300k < N <= 500k, a_small=4): live entries
+        # measured 2.8N at 500k; 3.2N held full 58.1 dB parity at
+        # +24% fps.  NOT applied below 300k — small scenes have larger
+        # per-splat footprints (live ~4.5N measured at 100k, where a
+        # 3.2N cap collapsed parity to 15.6 dB).
+        entry_cap = int(3.2 * cloud.num_splats)
     proj = project_gaussians(cloud, cam, sh_degree, scaling_modifier)
     bins = bin_splats(
         proj, cam.width, cam.height, tile=tile,

@@ -51,3 +51,41 @@ def test_pallas_multitile_matches_golden(rng):
     assert psnr(ref.rgb, pal.rgb) > 40
     for name in ("seg_weights", "vis_weights", "amodal"):
         assert psnr(getattr(ref, name), getattr(pal, name)) > 40, name
+
+
+def test_entry_cap_overflow_flag(rng):
+    """TileBins.overflow: False when the cap holds every live entry,
+    True when live entries are truncated (and only then)."""
+    import jax
+
+    from pegasus_tpu.ops.binning import bin_splats
+    from pegasus_tpu.ops.projection import project_gaussians
+
+    env = make_plane_cloud(rng, n=400, size=1.0)
+    box = make_box_cloud(rng, n=200, center=(0, 0, 0.08), object_id=1)
+    scene = merge([env, box])
+    cam = Camera.look_at(
+        eye=(0.4, 0.3, 0.5), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(45), width=64, height=64,
+    )
+    proj = project_gaussians(scene, cam)
+    free = bin_splats(proj, 64, 64, entry_cap=None)
+    n_live = int(np.asarray(free.tile_count).sum())
+    assert n_live > 8
+
+    roomy = bin_splats(proj, 64, 64, entry_cap=n_live + 16)
+    assert not bool(roomy.overflow)
+    assert int(np.asarray(roomy.tile_count).sum()) == n_live
+
+    exact = bin_splats(proj, 64, 64, entry_cap=n_live)
+    assert not bool(exact.overflow)
+
+    truncated = bin_splats(proj, 64, 64, entry_cap=n_live - 8)
+    assert bool(truncated.overflow)
+    assert int(np.asarray(truncated.tile_count).sum()) == n_live - 8
+
+    # flag also computes under jit
+    jf = jax.jit(
+        lambda p: bin_splats(p, 64, 64, entry_cap=n_live - 8).overflow
+    )
+    assert bool(jf(proj))
