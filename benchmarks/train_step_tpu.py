@@ -38,7 +38,8 @@ def _cos(a, b):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=None)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "train_step_512.json"))
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--capacity", type=int, default=200_000)
@@ -98,18 +99,92 @@ def main():
     report["pallas_compile_s"] = round(comp_p, 1)
     report["iters_per_s"] = round(1.0 / dt_p, 1)
     report["sec_per_30k_iters"] = round(30_000 * dt_p, 1)
+    del tr_p, st_p
+    jax.clear_caches()
 
     if not args.skip_tiled:
-        print("[train-bench] timing tiled backend...", file=sys.stderr)
-        tr_t, st_t, dt_t, comp_t = time_backend("tiled")
-        report["tiled_ms_per_step"] = round(dt_t * 1e3, 2)
-        report["speedup_vs_tiled"] = round(dt_t / dt_p, 2)
+        # The tiled backend materializes [tiles, px, chunk] intermediates
+        # through autodiff — at 512x512 / 200k capacity that exhausts a
+        # 16 GB chip, which is precisely WHY the Pallas pair exists.  The
+        # backend comparison + gradient parity therefore run at a shape
+        # both backends fit (256x256, 60k splats); parity is shape-
+        # independent and the suite re-checks it on CPU every run.
+        #
+        # Fixture notes (round 3): the comparison must avoid two traps.
+        #  1. The dense 60k cmp cloud packs ~1800 entries into hot tiles;
+        #     the tiled REFERENCE truncates at max_per_tile and renders a
+        #     wrong image (measured 26.8 dB vs golden at the 1024 default,
+        #     74.6 dB at 4096) — so the reference trainer gets 4096.
+        #  2. A FLAT ground truth makes SSIM degenerate: sigma_gt = 0
+        #     drives the (sigma^2 + C2) denominators toward C2 = 9e-4, so
+        #     D-SSIM gradients amplify ~1e-3-level backend image noise
+        #     ~1000x into near-orthogonal giant gradients.  The GT is
+        #     therefore a textured render (the same cloud, jittered).
+        cmp_w = cmp_h = min(args.width, 256)
+        cmp_cloud = make_box_cloud(
+            rng, n=60_000, half_extents=(0.15, 0.15, 0.18),
+            rgb=(0.6, 0.4, 0.3), object_id=0,
+        )
+        cmp_cam = Camera.look_at(
+            eye=(0.6, 0.45, 0.5), target=(0, 0, 0), up=(0, 0, 1),
+            fovx=np.deg2rad(55), fovy=np.deg2rad(55),
+            width=cmp_w, height=cmp_h,
+        )
+        from pegasus_tpu.ops.projection import project_gaussians
+        from pegasus_tpu.ops.rasterize_tiled import rasterize_projected_tiled
 
-        # gradient parity on identical state (full param set + probe)
+        jit_cloud = cmp_cloud.replace(
+            xyz=cmp_cloud.xyz + 0.01 * rng.standard_normal(
+                cmp_cloud.xyz.shape
+            ).astype(np.float32)
+        )
+        jit_proj = project_gaussians(jit_cloud, cmp_cam,
+                                     sh_degree=jit_cloud.sh_degree)
+        cmp_gt = jnp.clip(
+            rasterize_projected_tiled(
+                jit_proj, cmp_w, cmp_h, (0.0, 0.0, 0.0),
+                max_objects=1, max_per_tile=4096,
+            ).rgb,
+            0.0, 1.0,
+        )
+        cmp_config = TrainConfig(capacity=100_000)
+
+        def time_cmp(backend_name):
+            trainer = GSTrainer(cmp_config, width=cmp_w, height=cmp_h,
+                                backend=backend_name, max_per_tile=4096)
+            state = trainer.init_state(cmp_cloud, spatial_lr_scale=0.5)
+            state, m = trainer.train_step(state, cmp_cam, cmp_gt)
+            _ = float(m["loss"])
+            t0 = time.time()
+            for _i in range(args.iters):
+                state, m = trainer.train_step(state, cmp_cam, cmp_gt)
+            _ = float(m["loss"])
+            return trainer, (time.time() - t0) / args.iters
+
+        print("[train-bench] timing pallas backend (cmp shape)...",
+              file=sys.stderr)
+        tr_pc, dt_pc = time_cmp(backend)
+        print("[train-bench] timing tiled backend (cmp shape)...",
+              file=sys.stderr)
+        tr_t, dt_t = time_cmp("tiled")
+        report["cmp_resolution"] = f"{cmp_w}x{cmp_h}"
+        report["cmp_pallas_ms_per_step"] = round(dt_pc * 1e3, 2)
+        report["cmp_tiled_ms_per_step"] = round(dt_t * 1e3, 2)
+        report["speedup_vs_tiled"] = round(dt_t / dt_pc, 2)
+
+        # gradient parity on identical state (full param set + probe);
+        # jitted — eager autodiff materializes every intermediate and
+        # OOMs a 16 GB chip at the 4096-deep tiled reference
         print("[train-bench] grad parity...", file=sys.stderr)
-        s0 = tr_p.init_state(cloud, spatial_lr_scale=0.5)
-        _, _, gp, op = tr_p._loss_and_grads(s0, cam, gt)
-        _, _, gt_, ot = tr_t._loss_and_grads(s0, cam, gt)
+        s0 = tr_pc.init_state(cmp_cloud, spatial_lr_scale=0.5)
+        _, _, gp, op = jax.jit(
+            lambda s, c, g: tr_pc._loss_and_grads(s, c, g)
+        )(s0, cmp_cam, cmp_gt)
+        gp, op = jax.tree.map(np.asarray, (dict(gp), op))
+        jax.clear_caches()
+        _, _, gt_, ot = jax.jit(
+            lambda s, c, g: tr_t._loss_and_grads(s, c, g)
+        )(s0, cmp_cam, cmp_gt)
         cosines = {
             name: _cos(gp[name], gt_[name]) for name in gp
         }

@@ -172,3 +172,69 @@ def test_dead_splats_get_zero_grads(rng):
     g = np.asarray(jax.grad(loss)(scene.xyz))
     assert np.all(g[-50:] == 0.0)
     assert np.any(g[:-50] != 0.0)
+
+
+def test_dense_tile_overflow_trap(rng):
+    """Regression for the round-3 bench-parity incident: on clouds packing
+    more than max_per_tile entries into hot tiles, the TILED backend
+    silently truncates (counts = min(tile_count, max_per_tile)) and is NOT
+    a valid gradient reference, while the Pallas pair composites every
+    entry.  Measured on hardware: 26.8 dB vs golden at the 1024 default on
+    a 60k-splat init cloud, 74.6 dB at 4096.  This miniature reproduces
+    the geometry (thousands of small splats piled into a few tiles) and
+    asserts both halves: adequately-sized tiled matches Pallas grads;
+    undersized tiled does not match its own adequately-sized forward."""
+    from pegasus_tpu.ops.rasterize_ref import rasterize_projected
+
+    # 3000 low-opacity splats concentrated over ~4 tiles of a 64x64 image
+    n = 3000
+    cloud = make_box_cloud(
+        rng, n=n, center=(0.0, 0.0, 0.0), half_extents=(0.03, 0.03, 0.03),
+        rgb=(0.6, 0.4, 0.3), object_id=1,
+    )
+    op = np.full((n, 1), -2.2, np.float32)  # sigmoid ~ 0.1 (Inria init)
+    cloud = cloud.replace(opacity=jnp.asarray(op))
+    cam = Camera.look_at(
+        eye=(0.25, 0.2, 0.22), target=(0, 0, 0), up=(0, 0, 1),
+        fovx=np.deg2rad(50), fovy=np.deg2rad(50), width=64, height=64,
+    )
+    bg = jnp.zeros(3, jnp.float32)
+    proj = project_gaussians(cloud, cam)
+
+    # the fixture must actually overflow the small cap
+    from pegasus_tpu.ops.binning import bin_splats
+    bins = bin_splats(proj, cam.width, cam.height)
+    max_count = int(np.asarray(bins.tile_count).max())
+    assert max_count > 512, f"fixture too sparse: {max_count} entries/tile"
+
+    golden = rasterize_projected(proj, cam.width, cam.height, bg, max_objects=2)
+
+    def img(mpt):
+        return rasterize_projected_tiled(
+            proj, cam.width, cam.height, bg, max_objects=2,
+            max_per_tile=mpt, chunk=128,
+        ).rgb
+
+    err_small = float(jnp.max(jnp.abs(img(512) - golden.rgb)))
+    err_big = float(jnp.max(jnp.abs(img(4096) - golden.rgb)))
+    assert err_big < 1e-3, f"adequately-sized tiled wrong: {err_big}"
+    assert err_small > 1e-2, (
+        f"fixture no longer overflows (err {err_small}); deepen it"
+    )
+
+    # gradient parity holds against the ADEQUATE reference
+    def loss(params, render):
+        c = cloud.replace(**params)
+        p = project_gaussians(c, cam)
+        return jnp.sum((jnp.clip(render(p).rgb, 0, 1) - 0.25) ** 2)
+
+    params = {"xyz": cloud.xyz, "f_dc": cloud.f_dc, "opacity": cloud.opacity}
+    g_t = jax.grad(loss)(params, lambda p: rasterize_projected_tiled(
+        p, cam.width, cam.height, bg, max_objects=2,
+        max_per_tile=4096, chunk=128))
+    g_p = jax.grad(loss)(params, lambda p: rasterize_projected_pallas(
+        p, cam.width, cam.height, bg, max_objects=2,
+        chunk=128, interpret=True))
+    for name in params:
+        c = _cos(g_t[name], g_p[name])
+        assert c > 0.999, f"{name}: cosine {c}"
