@@ -21,11 +21,13 @@ shape static and — crucially — GATHER-FREE:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pegasus_tpu.ops.projection import ProjectedGaussians
 
@@ -64,6 +66,64 @@ class TileBins(NamedTuple):
     overflow: jnp.ndarray = jnp.asarray(False)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _gather_rows_structured(
+    packed: jnp.ndarray,   # [N+1, 16]
+    src: jnp.ndarray,      # [M_pad] i32 entry -> splat row (n = dummy)
+    pos: jnp.ndarray,      # [M_pad] i32 entry -> PRE-sort slot position
+    b_idx: jnp.ndarray,    # [big_budget] i32 big-bucket winner rows
+    n: int,
+    a_small: int,
+    a_big: int,
+    big_budget: int,
+) -> jnp.ndarray:
+    """packed[src] whose transpose rides the binning's SLOT STRUCTURE.
+
+    The plain gather's autodiff transpose is an XLA scatter-add of one
+    16-float row per entry — measured 18 ms of a 512x512 training step
+    at 150k splats (~0.9M entries), the single largest stage.  But the
+    pre-sort entry layout is dense and slot-major ([a_small, N] core
+    windows + [a_big, big_budget] big-bucket slots), so if the cotangent
+    rows are returned to PRE-SORT order, per-splat sums are plain
+    reshape+reduces plus one tiny scatter-add over the big_budget
+    winners.  Getting them there is one payload sort by the `pos` column
+    the forward sort carries (16 payload columns ride ~free next to the
+    key: measured 4.3 ms at 0.93M).  ~3x faster than the scatter end to
+    end; numerics identical up to float addition order per splat.
+    """
+    return packed[src]
+
+
+def _gather_rows_structured_fwd(packed, src, pos, b_idx, n, a_small, a_big,
+                                big_budget):
+    return packed[src], (src, pos, b_idx)
+
+
+def _gather_rows_structured_bwd(n, a_small, a_big, big_budget, res, g):
+    src, pos, b_idx = res  # g: [M_pad, 16]
+    f = g.shape[1]
+    total = a_small * n + a_big * big_budget
+    ops = jax.lax.sort(
+        (pos,) + tuple(g[:, j] for j in range(f)), num_keys=1,
+        is_stable=False,
+    )
+    # pos is a permutation of 0..total-1 plus >= total pad sentinels, so
+    # the first `total` sorted rows are exactly pre-sort dense order
+    g_pre = jnp.stack(ops[1:], axis=1)[:total]  # [total, 16]
+    small = g_pre[: a_small * n].reshape(a_small, n, f).sum(axis=0)
+    big = g_pre[a_small * n :].reshape(a_big, big_budget, f).sum(axis=0)
+    dpacked = jnp.concatenate(
+        [small, jnp.zeros((1, f), g.dtype)], axis=0
+    ).at[b_idx].add(big)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return dpacked, f0(src), f0(pos), f0(b_idx)
+
+
+_gather_rows_structured.defvjp(
+    _gather_rows_structured_fwd, _gather_rows_structured_bwd
+)
+
+
 def _pack_columns(proj: ProjectedGaussians):
     """16 per-splat parameter columns (PARAM_DIM order)."""
     n = proj.mean_x.shape[0]
@@ -98,7 +158,15 @@ def bin_splats(
     a_big: int = 36,
     lane_pad: int = 1024,
     entry_cap: int | None = None,
+    with_entry_origin: bool = False,
 ) -> TileBins:
+    """with_entry_origin: carry each entry's pre-sort slot position as an
+    extra sort payload and route the parameter gather through the
+    structure-aware custom VJP (fast training transpose).  Requires
+    entry_cap=None (training binning is uncapped; capped generation never
+    differentiates)."""
+    if with_entry_origin and entry_cap is not None:
+        raise ValueError("with_entry_origin requires entry_cap=None")
     n = proj.mean_x.shape[0]
     ntx = -(-width // tile)
     nty = -(-height // tile)
@@ -241,8 +309,15 @@ def bin_splats(
     # bit pattern produce duplicate keys; the source index rides as a SECOND
     # sort key so their compositing order is a deterministic function of
     # splat index (run-to-run and backend-to-backend reproducible)
-    sorted_key, sorted_src = jax.lax.sort((keys, vals), num_keys=2,
-                                          is_stable=False)
+    sorted_pos = None
+    if with_entry_origin:
+        pos = jnp.arange(keys.shape[0], dtype=jnp.int32)
+        sorted_key, sorted_src, sorted_pos = jax.lax.sort(
+            (keys, vals, pos), num_keys=2, is_stable=False
+        )
+    else:
+        sorted_key, sorted_src = jax.lax.sort((keys, vals), num_keys=2,
+                                              is_stable=False)
     overflow = jnp.asarray(False)
     if entry_cap is not None and entry_cap < sorted_key.shape[0]:
         # static truncation: sentinel (invalid) entries sort PAST every live
@@ -273,7 +348,15 @@ def bin_splats(
     # pad the INDICES (a few hundred i32) instead of the [16, M] matrix —
     # index n hits the zero dummy row, so the lane tail is zeros either way
     src_pad = jnp.pad(sorted_src, (0, lane_pad), constant_values=n)
-    params_t = packed[src_pad].T  # [16, M + lane_pad]
+    if with_entry_origin:
+        total = keys.shape[0]
+        pos_pad = jnp.pad(sorted_pos, (0, lane_pad), constant_values=total)
+        params_t = _gather_rows_structured(
+            packed, src_pad, pos_pad, b_idx,
+            n, a_small, a_big, b_idx.shape[0],
+        ).T  # [16, M + lane_pad]
+    else:
+        params_t = packed[src_pad].T  # [16, M + lane_pad]
 
     return TileBins(
         params_t=params_t,

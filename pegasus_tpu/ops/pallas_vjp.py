@@ -489,6 +489,10 @@ def rasterize_projected_pallas(
         proj, width, height, tile=tile,
         a_small=a_small, big_budget=big_budget, a_big=a_big,
         lane_pad=chunk + 2 * _ALIGN,
+        # structure-aware gather transpose (fast training backward); the
+        # tiled backend keeps the plain scatter transpose, so grad-parity
+        # tests cross-validate two independent transpose implementations
+        with_entry_origin=True,
     )
     return composite_tiles_pallas_diff(
         bins, width, height, jnp.asarray(background, jnp.float32),

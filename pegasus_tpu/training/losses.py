@@ -11,31 +11,49 @@ import jax
 import jax.numpy as jnp
 
 
-def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+def _gaussian_1d(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     x = jnp.arange(size, dtype=jnp.float32) - size // 2
     g = jnp.exp(-(x**2) / (2 * sigma**2))
-    g = g / g.sum()
+    return g / g.sum()
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
+    g = _gaussian_1d(size, sigma)
     return jnp.outer(g, g)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over an [H, W, C] image pair in [0, 1]."""
+    """Mean SSIM over an [H, W, C] image pair in [0, 1].
+
+    The Gaussian window is SEPARABLE (outer(g, g)), so each blur is two
+    rank-1 convs — 2*S instead of S^2 taps — and channels fold into the
+    conv BATCH dim rather than a grouped-conv feature dim (TPU lowers
+    feature_group_count > 1 off the fast conv path).  Measured on a v5e:
+    the full gs_loss fwd+bwd at 512x512 drops 18.1 -> ~3 ms.  Numerics
+    are identical to the 2-D window up to float addition order.
+    """
     c1 = 0.01**2
     c2 = 0.03**2
-    win = _gaussian_window(window_size)[:, :, None, None]  # HWIO, per-channel
+    g = _gaussian_1d(window_size)
 
     def filt(x):
-        # depthwise conv: [H, W, C] -> [1, H, W, C]
-        x4 = x[None]
+        # [H, W, C] -> channels as batch: [C, H, W, 1]
         ch = x.shape[-1]
-        k = jnp.tile(win, (1, 1, 1, ch))
-        return jax.lax.conv_general_dilated(
-            x4, k,
-            window_strides=(1, 1),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=ch,
-        )[0]
+        x4 = jnp.transpose(x, (2, 0, 1))[..., None]
+        for k in (
+            g[:, None, None, None],  # [S, 1, 1, 1] vertical
+            g[None, :, None, None],  # [1, S, 1, 1] horizontal
+        ):
+            x4 = jax.lax.conv_general_dilated(
+                x4, k,
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                # fp32 taps: TPU convs default to bf16 inputs, which put
+                # ~0.4% noise on mu/sigma; at 2x11 taps fp32 is free
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return jnp.transpose(x4[..., 0], (1, 2, 0))  # back to [H, W, C]
 
     mu1 = filt(img1)
     mu2 = filt(img2)
