@@ -245,13 +245,25 @@ def _composite_bwd_kernel(
         s_full = s_full + jnp.sum(w_full * fg, axis=1, keepdims=True)
         t_full = t_full * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
 
-        alphas_ne = jnp.where(is_env, 0.0, alphas)
-        log1m_ne = jnp.log1p(-alphas_ne)
-        excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne)
-        w_ne = alphas_ne * excl_ne * t_ne
-        fg_ne = dot_pf(gB, onehot_t)
-        s_ne = s_ne + jnp.sum(w_ne * fg_ne, axis=1, keepdims=True)
-        t_ne = t_ne * jnp.exp(jnp.sum(log1m_ne, axis=1, keepdims=True))
+        # noenv group: skip for object-free chunks (same data-dependent
+        # scf.if the forward uses; a chunk with no object entries leaves
+        # t_ne and s_ne unchanged since alphas_ne would be all-zero)
+        has_obj = jnp.any((~is_env) & (alphas > 0.0))
+
+        def ne_pass(_):
+            alphas_ne = jnp.where(is_env, 0.0, alphas)
+            log1m_ne = jnp.log1p(-alphas_ne)
+            excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne)
+            w_ne = alphas_ne * excl_ne * t_ne
+            fg_ne = dot_pf(gB, onehot_t)
+            return (
+                s_ne + jnp.sum(w_ne * fg_ne, axis=1, keepdims=True),
+                t_ne * jnp.exp(jnp.sum(log1m_ne, axis=1, keepdims=True)),
+            )
+
+        s_ne, t_ne = jax.lax.cond(
+            has_obj, ne_pass, lambda _: (s_ne, t_ne), None
+        )
         return (t_full, t_ne, s_full, s_ne)
 
     ones_px = jnp.ones((px_n, 1), jnp.float32)
@@ -288,19 +300,37 @@ def _composite_bwd_kernel(
         suffix = s_full_tot - pref
         da = t_excl * fg - (suffix + tff * gtf) / (1.0 - alphas)
 
-        # noenv (vis) group
-        alphas_ne = jnp.where(is_env, 0.0, alphas)
-        log1m_ne = jnp.log1p(-alphas_ne)
-        t_excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne) * t_ne
-        w_ne = alphas_ne * t_excl_ne
-        fg_ne = dot_pf(gB, onehot_t)
-        contrib_ne = w_ne * fg_ne
-        pref_ne = cumsum_lanes(contrib_ne) + r_ne
-        suffix_ne = s_ne_tot - pref_ne
-        da_ne = t_excl_ne * fg_ne - (suffix_ne + tnf * gtn) / (
-            1.0 - alphas_ne
+        # noenv (vis) group — skipped for object-free chunks: the da_ne
+        # term is masked to object lanes anyway, and contrib_ne/t_ne are
+        # unchanged when alphas_ne is all-zero
+        has_obj = jnp.any((~is_env) & (alphas > 0.0))
+
+        def ne_pass(_):
+            alphas_ne = jnp.where(is_env, 0.0, alphas)
+            log1m_ne = jnp.log1p(-alphas_ne)
+            t_excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne) * t_ne
+            w_ne = alphas_ne * t_excl_ne
+            fg_ne = dot_pf(gB, onehot_t)
+            contrib_ne = w_ne * fg_ne
+            pref_ne = cumsum_lanes(contrib_ne) + r_ne
+            suffix_ne = s_ne_tot - pref_ne
+            da_ne = t_excl_ne * fg_ne - (suffix_ne + tnf * gtn) / (
+                1.0 - alphas_ne
+            )
+            nt = t_ne * jnp.exp(jnp.sum(log1m_ne, axis=1, keepdims=True))
+            return jnp.where(is_env, 0.0, da_ne), contrib_ne, nt
+
+        def ne_skip(_):
+            return (
+                jnp.zeros((px_n, w_lanes), jnp.float32),
+                jnp.zeros((px_n, w_lanes), jnp.float32),
+                t_ne,
+            )
+
+        da_ne_m, contrib_ne, new_t_ne = jax.lax.cond(
+            has_obj, ne_pass, ne_skip, None
         )
-        da = da + jnp.where(is_env, 0.0, da_ne)
+        da = da + da_ne_m
 
         # amodal group: d/da of log1p(-a) accumulated per object channel
         ga = dot_pf(gC, onehot_t)
@@ -350,10 +380,9 @@ def _composite_bwd_kernel(
         wr.wait()
 
         t_full = t_full * jnp.exp(jnp.sum(log1m, axis=1, keepdims=True))
-        t_ne = t_ne * jnp.exp(jnp.sum(log1m_ne, axis=1, keepdims=True))
         r_full = r_full + jnp.sum(contrib, axis=1, keepdims=True)
         r_ne = r_ne + jnp.sum(contrib_ne, axis=1, keepdims=True)
-        return (t_full, t_ne, r_full, r_ne)
+        return (t_full, new_t_ne, r_full, r_ne)
 
     jax.lax.fori_loop(
         0, n_chunks, body2, (ones_px, ones_px, zeros_px, zeros_px)
