@@ -161,6 +161,8 @@ def _scenes_per_hour():
             round(scene_s, 1),
             round(device_scene_s, 1),
             bytes_per_frame * 300,
+            round(t_setup, 1),
+            round(t_dev * (300.0 / n_timed), 1),
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -297,6 +299,8 @@ def main():
             line["scene_seconds"],
             line["device_scene_seconds"],
             line["readback_bytes_per_scene"],
+            line["scene_setup_seconds"],
+            line["device_frame_loop_seconds"],
         ) = _scenes_per_hour()
     except Exception as e:  # noqa: BLE001
         line["scenes_per_hour"] = None
