@@ -156,7 +156,8 @@ def _stack(trees):
 
 
 @functools.lru_cache(maxsize=16)
-def _make_batch_program(mesh, n_steps: int, rasterize_fn):
+def _make_batch_program(mesh, n_steps: int, rasterize_fn,
+                        static_pose: bool = False):
     """S scenes x F frames as ONE program: the scene axis is sharded over
     the mesh with shard_map, and each device iterates its LOCAL scenes
     with lax.map — sequential per-scene iteration (a device renders one
@@ -177,12 +178,24 @@ def _make_batch_program(mesh, n_steps: int, rasterize_fn):
             jnp.transpose(traj.rot, (1, 0, 2))[:nb], -1, axis=-1
         )  # xyzw
 
+        if static_pose:
+            # static scenes share one pose across all frames: pose ONCE
+            # above the scan (28.5 ms/frame at 210k splats otherwise —
+            # XLA cannot hoist it because `step` is a scanned input)
+            body_R0, body_t0 = poses_from_trajectory_step(
+                times_t, times_q, frame_steps[0]
+            )
+            scene0 = pose_scene(template, body_R0, body_t0)
+
         def frame(_, inputs):
             cam, step = inputs
-            body_R, body_t = poses_from_trajectory_step(
-                times_t, times_q, step
-            )
-            scene = pose_scene(template, body_R, body_t)
+            if static_pose:
+                body_R, body_t, scene = body_R0, body_t0, scene0
+            else:
+                body_R, body_t = poses_from_trajectory_step(
+                    times_t, times_q, step
+                )
+                scene = pose_scene(template, body_R, body_t)
             fr = render_frame(
                 scene, cam, colors, rasterize_fn=rasterize_fn
             )
@@ -307,7 +320,8 @@ def run_generation_sharded(
         done = completed_scene_ids(out_root, config.dataset_name)
         scene_ids = [s for s in scene_ids if s not in done]
     batch_program = _make_batch_program(
-        mesh, n_steps=config.simulation_steps, rasterize_fn=rasterize_fn
+        mesh, n_steps=config.simulation_steps, rasterize_fn=rasterize_fn,
+        static_pose=config.mode != "dynamic",
     )
 
     def one_batch(batch_ids) -> None:
