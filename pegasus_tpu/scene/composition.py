@@ -80,24 +80,45 @@ def pose_scene(
     Semantics per body match GaussianModel.apply_transformation about the
     body centroid (reference: src/gs/gaussian_model.py:579-582 via
     pegasus_setup.apply_transformation_on_gs, src/gs/pegasus_setup.py:195-207).
-    Fully batched: one gather over bodies + fused einsums over all splats.
+
+    Per-splat per-body matrices are fetched as ONE-HOT MXU MATMULS
+    (onehot[N,B] @ mats[B,k]) and applied with unrolled elementwise
+    multiply-adds instead of gathered [N,d,d] batched-tiny-matmul einsums:
+    XLA lowers the latter to heavily padded per-splat d x d MXU matmuls —
+    7.7 ms per SH band and 4.6 ms for xyz at 256k splats on v5e, vs
+    ~1 ms each this way (benchmarks/pose_variants_tpu.py).  One-hot
+    weights are exactly 0/1, so the "gather" is bit-exact.
     """
     cloud = template.cloud
-    bid = jnp.clip(cloud.object_id, 0, template.num_bodies - 1)
+    nb = template.num_bodies
+    bid = jnp.clip(cloud.object_id, 0, nb - 1)
+    onehot = jax.nn.one_hot(bid, nb, dtype=jnp.float32)  # [N, B]
 
-    R_g = body_R[bid]  # [N, 3, 3]
-    t_g = body_t[bid]  # [N, 3]
-    p_g = template.pivots[bid]  # [N, 3]
+    def per_splat(mats: jnp.ndarray) -> jnp.ndarray:  # [B, k] -> [N, k]
+        return jnp.einsum("nb,bk->nk", onehot, mats, precision=_PREC)
 
+    R_flat = per_splat(body_R.reshape(nb, 9))  # [N, 9] row-major
+    t_g = per_splat(body_t)  # [N, 3]
+    p_g = per_splat(template.pivots)  # [N, 3]
+
+    rel = cloud.xyz - p_g
     new_xyz = (
-        jnp.einsum("nij,nj->ni", R_g, cloud.xyz - p_g, precision=_PREC) + p_g + t_g
+        jnp.stack(
+            [
+                sum(R_flat[:, 3 * i + j] * rel[:, j] for j in range(3))
+                for i in range(3)
+            ],
+            axis=1,
+        )
+        + p_g
+        + t_g
     )
 
     # per-splat quaternion premultiplied by the body rotation
     body_q = quat.rotmat_to_quat(body_R)  # [B, 4]
-    new_rot = quat.quat_mul(body_q[bid], cloud.get_rotation())
+    new_rot = quat.quat_mul(per_splat(body_q), cloud.get_rotation())
 
-    # SH rotation: per-body band matrices, gathered per splat
+    # SH rotation: per-body band matrices, one-hot-fetched per splat
     f_rest = cloud.f_rest
     if f_rest.shape[1] > 0:
         deg = cloud.sh_degree
@@ -106,9 +127,16 @@ def pose_scene(
         for band in range(1, deg + 1):
             dim = shlib._BAND_DIMS[band]
             D = shlib.sh_band_rotation(body_R, band)  # [B, dim, dim]
-            D_g = D[bid]  # [N, dim, dim]
-            block = f_rest[:, start : start + dim, :]
-            outs.append(jnp.einsum("nij,njc->nic", D_g, block, precision=_PREC))
+            D_g = per_splat(D.reshape(nb, dim * dim))  # [N, dim*dim]
+            block = f_rest[:, start : start + dim, :]  # [N, dim, C]
+            rows = [
+                sum(
+                    D_g[:, i * dim + j, None] * block[:, j]
+                    for j in range(dim)
+                )
+                for i in range(dim)
+            ]
+            outs.append(jnp.stack(rows, axis=1))
             start += dim
         if start < f_rest.shape[1]:
             outs.append(f_rest[:, start:])
