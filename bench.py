@@ -102,7 +102,8 @@ def _scenes_per_hour():
             Asset(OBJECT_NAME="cup_noodles_04", ID=104, dataset_path=data),
             Asset(OBJECT_NAME="cup_noodles_07", ID=107, dataset_path=data),
         ]
-        n_interp = 3  # 10 cams x 3 = 30 timed frames, extrapolated x10
+        n_interp = 4  # 10 cams x 4 = 40 timed frames (5 exact chunks of 8),
+        # extrapolated x7.5 to the reference's 300-frame scene
         pegasus = PEGASUS(
             dataset_path=data, env_dataset_path=data,
             urdf_asset_folder=os.path.join(data, "urdf"),
@@ -118,12 +119,21 @@ def _scenes_per_hour():
         # warm the physics + frame programs once (both are shape-stable
         # across scenes thanks to splat_budget), then time a full scene —
         # steady state is what a multi-scene production run amortizes to
+        import jax
+        import jax.numpy as jnp
+
+        def chunk_cams(idxs):
+            cams = [pegasus.viewport_cam_list[i] for i in idxs]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+        chunk = pegasus.frame_chunk
         pegasus.init_bullet([env], objs, "bench", 1, 2, 2, random=False)
         pegasus.init("bench", 1)
         pegasus.init_start_position()
         body_R, body_t = pegasus._body_poses_at(pegasus._initial_step)
-        warm = pegasus._frame_fn(
-            pegasus.template, body_R, body_t, pegasus.viewport_cam_list[0]
+        posed = pegasus._posed_scene(pegasus.template, body_R, body_t)
+        warm = pegasus._chunk_program(
+            posed, chunk_cams(list(range(chunk))), pegasus._semantic_colors_dev
         )
         np.asarray(warm)
 
@@ -140,22 +150,29 @@ def _scenes_per_hour():
         n_timed = 10 * n_interp
         scene_s = t_setup + t_frames * (300.0 / n_timed)
 
-        # device-only decomposition: same frame programs, sync on device
-        import jax.numpy as jnp
-
+        # device-only decomposition: all timed frames as ONE dispatch
+        # (lax.map over the full camera stack) so the measurement is
+        # immune to the tunnel's congestion-dependent per-dispatch RPC
+        # latency (observed 3-300 ms per call), which is a dev-link
+        # artifact, not device time
         body_R, body_t = pegasus._body_poses_at(pegasus._initial_step)
-        packed = None
+        posed = pegasus._posed_scene(pegasus.template, body_R, body_t)
+        cams_all = chunk_cams(list(range(n_timed)))
+        packed = pegasus._chunk_program(
+            posed, cams_all, pegasus._semantic_colors_dev
+        )  # compile + warm
+        _ = float(jnp.sum(packed[0, :16].astype(jnp.int32)))
+        reps = 3
         t2 = time.time()
-        for i in range(n_timed):
-            cam = pegasus.viewport_cam_list[i]
-            packed = pegasus._frame_fn(
-                pegasus.template, body_R, body_t, cam
+        for _ in range(reps):
+            packed = pegasus._chunk_program(
+                posed, cams_all, pegasus._semantic_colors_dev
             )
         # one-scalar fetch = reliable sync even on tunneled backends
-        _ = float(jnp.sum(packed[:16].astype(jnp.int32)))
-        t_dev = time.time() - t2
+        _ = float(jnp.sum(packed[0, :16].astype(jnp.int32)))
+        t_dev = (time.time() - t2) / reps
         device_scene_s = t_setup + t_dev * (300.0 / n_timed)
-        bytes_per_frame = int(packed.size * packed.dtype.itemsize)
+        bytes_per_frame = int(packed.size * packed.dtype.itemsize) // n_timed
         return (
             round(3600.0 / scene_s, 1),
             round(scene_s, 1),

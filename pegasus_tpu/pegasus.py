@@ -72,6 +72,7 @@ class PEGASUS:
         unit_scale: float = 1000.0,
         QUIET: bool = False,
         publish2gui: bool = False,  # serve frames to a SIBR viewer (TCP)
+        frame_chunk: int = 8,  # frames per dispatch/readback (1 = per-frame)
     ):
         self.dataset_path = dataset_path
         self.env_dataset_path = env_dataset_path or dataset_path
@@ -98,6 +99,7 @@ class PEGASUS:
             network_gui.init(self.IP, self.PORT)
         self.rasterize_fn = rasterize_fn
         self.QUIET = QUIET
+        self.frame_chunk = max(1, int(frame_chunk))
 
         # Preload GS clouds + COLMAP poses once (reference: pegasus.py:89-117)
         self.gaussian_environment_pre_load: Dict[str, dict] = {}
@@ -273,6 +275,74 @@ class PEGASUS:
         return jax.jit(pose_scene)
 
     @functools.cached_property
+    def _rasterize_kwargs(self):
+        kwargs = {}
+        if self.rasterize_fn is not None:
+            kwargs["rasterize_fn"] = self.rasterize_fn
+        elif jax.default_backend() != "cpu":
+            # TPU: fused Pallas compositor; CPU falls back to the portable
+            # tiled XLA backend
+            from pegasus_tpu.ops.rasterize_pallas import rasterize_pallas
+
+            kwargs["rasterize_fn"] = rasterize_pallas
+        else:
+            from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
+
+            kwargs["rasterize_fn"] = rasterize_tiled
+        return kwargs
+
+    @functools.cached_property
+    def _chunk_program(self):
+        """Static-mode chunk: C frames of one posed scene as ONE dispatch.
+
+        lax.map over a stacked camera batch (NOT vmap: the Pallas kernel
+        has no batching rule, and a chip renders one frame at a time
+        anyway).  One dispatch + one readback per C frames amortizes the
+        per-call round trip (~2.7 ms dispatch + ~50 ms fetch latency on
+        tunneled links; 300 per-frame fetches cost ~15 s/scene in latency
+        alone)."""
+        background = self.background
+        kwargs = self._rasterize_kwargs
+
+        @jax.jit
+        def fn(scene, cams, colors):
+            return jax.lax.map(
+                lambda c: pack_frame_bytes(
+                    encode_frame(
+                        render_frame(
+                            scene, c, colors, background=background, **kwargs
+                        )
+                    )
+                ),
+                cams,
+            )
+
+        return fn
+
+    @functools.cached_property
+    def _chunk_program_dynamic(self):
+        """Dynamic-mode chunk: per-frame body poses ride the map."""
+        background = self.background
+        kwargs = self._rasterize_kwargs
+
+        @jax.jit
+        def fn(template, cams, body_Rs, body_ts, colors):
+            def one(args):
+                c, R, t = args
+                scene = pose_scene(template, R, t)
+                return pack_frame_bytes(
+                    encode_frame(
+                        render_frame(
+                            scene, c, colors, background=background, **kwargs
+                        )
+                    )
+                )
+
+            return jax.lax.map(one, (cams, body_Rs, body_ts))
+
+        return fn
+
+    @functools.cached_property
     def _scene_program(self):
         """Jitted render + modality decode + pack on an already-POSED cloud.
 
@@ -292,19 +362,7 @@ class PEGASUS:
         palette's shape — changes.
         """
         background = self.background
-        kwargs = {}
-        if self.rasterize_fn is not None:
-            kwargs["rasterize_fn"] = self.rasterize_fn
-        elif jax.default_backend() != "cpu":
-            # TPU: fused Pallas compositor; CPU falls back to the portable
-            # tiled XLA backend via render_frame's default
-            from pegasus_tpu.ops.rasterize_pallas import rasterize_pallas
-
-            kwargs["rasterize_fn"] = rasterize_pallas
-        else:
-            from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
-
-            kwargs["rasterize_fn"] = rasterize_tiled
+        kwargs = self._rasterize_kwargs
 
         @jax.jit
         def fn(scene, cam, colors):
@@ -409,105 +467,154 @@ class PEGASUS:
         save_video: bool = True,
     ) -> None:
         """Render the camera trajectory and write all requested modalities
-        (reference: pegasus.py:247-390)."""
+        (reference: pegasus.py:247-390).
+
+        Frames render in chunks of ``frame_chunk`` cameras: one jitted
+        lax.map dispatch and ONE device->host fetch per chunk (the loop is
+        readback-latency-bound on tunneled links — 300 per-frame fetches
+        pay ~50 ms latency each).  Chunks are pipelined: while one chunk's
+        bytes stream back on a reader thread, the next renders.  The SIBR
+        GUI (publish2gui) is polled once per chunk."""
         import tqdm
 
         writer = self.pegasus_dataset
         n_frames = len(self.viewport_cam_list)
         n_objects = len(self.semantic_colors)
+        chunk = max(1, min(self.frame_chunk, n_frames))
+        n_chunks = -(-n_frames // chunk)
 
-        # software pipeline against HIGH-LATENCY readback links: dispatch
-        # renders ahead, fetch packed frames on reader threads (each fetch
-        # is one round trip; tunneled links charge ~50 ms latency each)
         from concurrent.futures import ThreadPoolExecutor
 
-        readers = ThreadPoolExecutor(max_workers=3)
-        DEPTH = 4  # frames in flight
+        readers = ThreadPoolExecutor(max_workers=2)
+        DEPTH = 2  # chunks in flight
 
         # static mode: one pose per scene — the SAME arrays every dispatch,
         # so `_posed_scene` / `_poses_np` hit their identity caches and the
-        # per-frame device program is render+pack only
+        # per-chunk device program is render+pack only
         static_poses = (
             None
             if self.mode == "dynamic"
             else self._body_poses_at(self._initial_step)
         )
 
-        def dispatch(i):
-            cam = self.viewport_cam_list[i]
+        def _stack_cams(idxs):
+            cams = [self.viewport_cam_list[i] for i in idxs]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+        def dispatch(ci):
+            lo = ci * chunk
+            idxs = list(range(lo, min(lo + chunk, n_frames)))
+            # pad the tail chunk to the compiled size (extras discarded)
+            padded = idxs + [idxs[-1]] * (chunk - len(idxs))
+            cams = _stack_cams(padded)
             if static_poses is not None:
                 body_R, body_t = static_poses
+                posed = self._posed_scene(self.template, body_R, body_t)
+                packed = self._chunk_program(
+                    posed, cams, self._semantic_colors_dev
+                )
+                poses_fut = readers.submit(self._poses_np, body_R, body_t)
+                per_frame_pose = False
             else:
-                body_R, body_t = self._body_poses_at(self._initial_step + i)
-            packed = self._frame_fn(self.template, body_R, body_t, cam)
-            fut = readers.submit(np.asarray, packed)
-            return (fut, i, cam, body_R, body_t)
-
-        inflight = [dispatch(i) for i in range(min(DEPTH, n_frames))]
-        next_i = len(inflight)
-
-        for _ in tqdm.tqdm(range(n_frames), disable=self.QUIET):
-            fut, i, cam, body_R, body_t = inflight.pop(0)
-            if next_i < n_frames:
-                inflight.append(dispatch(next_i))
-                next_i += 1
-            data = unpack_frame_bytes(fut.result(), n_objects)
-            if self.publish2gui:
-                self._serve_gui(body_R, body_t)
-
-            rgb_u8 = data["rgb_u8"]
-            depth = data["depth_m"]
-            depth_mm = data["depth_mm"]
-            mask_visib = data["mask_visib"]
-            mask_amodal = data["mask_amodal"]
-            sem_u8 = data["sem_u8"]
-            seg_img = sem_u8.astype(np.float32) / 255.0
-
-            writer.add_scene_camera(i)
-            if save_bop:
-                writer.write_training_data(
-                    frame_id=i,
-                    rgb=rgb_u8 if "rgb" in data_points else None,
-                    depth_mm=depth_mm if ("depth" in data_points or "rgb" in data_points) else None,
-                    mask_amodal=mask_amodal if "seg_sil" in data_points else None,
-                    mask_visib=mask_visib if "seg_vis" in data_points else None,
-                    sem_mask=sem_u8 if "sem_seg" in data_points else None,
-                )
-                body_R_np, body_t_np = self._poses_np(body_R, body_t)
-                object_poses = [
-                    {
-                        "bullet_id": bid,
-                        "obj_id": self.bullet_to_real_id.get(bid, bid),
-                        "R_init": body_R_np[bid],
-                        "t_init": body_t_np[bid],
-                    }
-                    for bid in self.bullet_ids
+                rt = [
+                    self._body_poses_at(self._initial_step + i)
+                    for i in padded
                 ]
-                writer.add_scene_gt(
-                    frame_id=i,
-                    cam_R_w2c=np.asarray(cam.R_w2c),
-                    cam_t_w2c=np.asarray(cam.t_w2c),
-                    object_poses=object_poses,
+                body_Rs = jnp.stack([r for r, _ in rt])
+                body_ts = jnp.stack([t for _, t in rt])
+                packed = self._chunk_program_dynamic(
+                    self.template, cams, body_Rs, body_ts,
+                    self._semantic_colors_dev,
                 )
+                poses_fut = readers.submit(
+                    lambda: (np.asarray(body_Rs), np.asarray(body_ts))
+                )
+                per_frame_pose = True
+            fut = readers.submit(np.asarray, packed)
+            return (fut, poses_fut, per_frame_pose, idxs)
 
-            if save_video:
-                centers = np.stack(
-                    [
-                        np.asarray(self.template.pivots[bid]) + np.asarray(body_t)[bid]
+        inflight = [dispatch(ci) for ci in range(min(DEPTH, n_chunks))]
+        next_ci = len(inflight)
+        progress = tqdm.tqdm(total=n_frames, disable=self.QUIET)
+
+        for _ in range(n_chunks):
+            fut, poses_fut, per_frame_pose, idxs = inflight.pop(0)
+            if next_ci < n_chunks:
+                inflight.append(dispatch(next_ci))
+                next_ci += 1
+            data = unpack_frame_bytes(fut.result(), n_objects)
+            poses_np = poses_fut.result()
+            if self.publish2gui:
+                if per_frame_pose:
+                    r, t = self._body_poses_at(
+                        self._initial_step + idxs[-1]
+                    )
+                    self._serve_gui(r, t)
+                else:
+                    self._serve_gui(*static_poses)
+
+            for j, i in enumerate(idxs):
+                if per_frame_pose:
+                    body_R_np = poses_np[0][j]
+                    body_t_np = poses_np[1][j]
+                else:
+                    body_R_np, body_t_np = poses_np
+                cam = self.viewport_cam_list[i]
+                rgb_u8 = data["rgb_u8"][j]
+                depth = data["depth_m"][j]
+                depth_mm = data["depth_mm"][j]
+                mask_visib = data["mask_visib"][j]
+                mask_amodal = data["mask_amodal"][j]
+                sem_u8 = data["sem_u8"][j]
+                seg_img = sem_u8.astype(np.float32) / 255.0
+
+                writer.add_scene_camera(i)
+                if save_bop:
+                    writer.write_training_data(
+                        frame_id=i,
+                        rgb=rgb_u8 if "rgb" in data_points else None,
+                        depth_mm=depth_mm if ("depth" in data_points or "rgb" in data_points) else None,
+                        mask_amodal=mask_amodal if "seg_sil" in data_points else None,
+                        mask_visib=mask_visib if "seg_vis" in data_points else None,
+                        sem_mask=sem_u8 if "sem_seg" in data_points else None,
+                    )
+                    object_poses = [
+                        {
+                            "bullet_id": bid,
+                            "obj_id": self.bullet_to_real_id.get(bid, bid),
+                            "R_init": body_R_np[bid],
+                            "t_init": body_t_np[bid],
+                        }
                         for bid in self.bullet_ids
                     ]
-                ) if self.bullet_ids else np.zeros((0, 3))
-                center_img = draw_object_centers(
-                    rgb_u8,
-                    centers,
-                    np.asarray(writer.K),
-                    np.asarray(cam.R_w2c),
-                    np.asarray(cam.t_w2c),
-                    self.semantic_colors,
-                )
-                self.video.write_frame(
-                    rgb=rgb_u8, depth=depth, seg=seg_img, center_image=center_img
-                )
+                    writer.add_scene_gt(
+                        frame_id=i,
+                        cam_R_w2c=np.asarray(cam.R_w2c),
+                        cam_t_w2c=np.asarray(cam.t_w2c),
+                        object_poses=object_poses,
+                    )
+
+                if save_video:
+                    centers = np.stack(
+                        [
+                            np.asarray(self.template.pivots[bid]) + body_t_np[bid]
+                            for bid in self.bullet_ids
+                        ]
+                    ) if self.bullet_ids else np.zeros((0, 3))
+                    center_img = draw_object_centers(
+                        rgb_u8,
+                        centers,
+                        np.asarray(writer.K),
+                        np.asarray(cam.R_w2c),
+                        np.asarray(cam.t_w2c),
+                        self.semantic_colors,
+                    )
+                    self.video.write_frame(
+                        rgb=rgb_u8, depth=depth, seg=seg_img,
+                        center_image=center_img,
+                    )
+                progress.update(1)
+        progress.close()
         readers.shutdown(wait=True)
 
     def save2bop(self) -> None:
