@@ -32,6 +32,7 @@ MAX_BODIES = 8
 MAX_POINTS = 48
 MAX_HULL_PLANES = 48
 MAX_HULL_PARTS = 6
+MAX_EDGES = 24
 CONCAVITY_THRESHOLD = 0.08  # fraction of diameter triggering decomposition
 
 
@@ -118,6 +119,53 @@ def hull_planes_from_mesh(
         n, d = n[sel], d[sel]
     n_pad[: len(n)], d_pad[: len(n)] = n, d
     return n_pad.astype(np.float32), d_pad.astype(np.float32)
+
+
+def hull_edges_from_mesh(
+    verts: np.ndarray, k: int = MAX_EDGES
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Convex-hull edge segments (a [k,3], b [k,3], mask [k]) for the
+    edge-edge narrow phase (rigid_body._edge_contacts).  Edges between
+    near-coplanar facets are dropped (they are face interiors, owned by
+    the point pass); if more remain than k, the LONGEST are kept — long
+    edges are the ones a crossing contact can bridge between sampled
+    points; short ones are locally covered by the contact-point cloud."""
+    from scipy.spatial import ConvexHull
+
+    pts = np.asarray(verts, np.float64)
+    a_pad = np.zeros((k, 3), np.float32)
+    b_pad = np.zeros((k, 3), np.float32)
+    mask = np.zeros(k, bool)
+    try:
+        hull = ConvexHull(pts)
+    except Exception:
+        return a_pad, b_pad, mask  # box fallback comes from half_extents
+    # each hull edge is shared by two simplices; collect with facet normals
+    edge_faces: dict[tuple[int, int], list[int]] = {}
+    for f, simplex in enumerate(hull.simplices):
+        m = len(simplex)
+        for i in range(m):
+            e = tuple(sorted((int(simplex[i]), int(simplex[(i + 1) % m]))))
+            edge_faces.setdefault(e, []).append(f)
+    normals = hull.equations[:, :3]
+    edges = []
+    for (i, j), faces in edge_faces.items():
+        if len(faces) == 2:
+            dihedral = float(np.dot(normals[faces[0]], normals[faces[1]]))
+            if dihedral > 0.985:  # < ~10 deg crease: coplanar face interior
+                continue
+        edges.append((i, j))
+    if not edges:
+        return a_pad, b_pad, mask
+    seg = pts[np.asarray(edges)]  # [n, 2, 3]
+    lengths = np.linalg.norm(seg[:, 1] - seg[:, 0], axis=1)
+    order = np.argsort(-lengths)[:k]
+    seg = seg[order]
+    n = len(seg)
+    a_pad[:n] = seg[:, 0]
+    b_pad[:n] = seg[:, 1]
+    mask[:n] = True
+    return a_pad, b_pad, mask
 
 
 def _hull_planes_raw(pts: np.ndarray):
@@ -263,6 +311,7 @@ class PhysicsEngine:
         max_points: int = MAX_POINTS,
         max_hull_planes: int = MAX_HULL_PLANES,
         max_hull_parts: int = MAX_HULL_PARTS,
+        max_edges: int = MAX_EDGES,
     ):
         self.trajectory_path = Path(output_path_json)
         self.trajectory_path.parent.mkdir(exist_ok=True, parents=True)
@@ -279,6 +328,7 @@ class PhysicsEngine:
         self.max_points = max_points
         self.max_hull_planes = max_hull_planes
         self.max_hull_parts = max_hull_parts
+        self.max_edges = max_edges
 
         self.asset_list = {"environment": {}, "object": {}}
         self._bodies: List[dict] = []  # ordered by bullet id
@@ -361,6 +411,9 @@ class PhysicsEngine:
         )
         lo, hi = verts.min(axis=0), verts.max(axis=0)
         if obj_type == "object":
+            edge_a, edge_b, edge_mask = hull_edges_from_mesh(
+                verts, self.max_edges
+            )
             plane_n, plane_d, plane_group, n_parts = decompose_mesh_hulls(
                 verts,
                 mesh.faces
@@ -371,6 +424,7 @@ class PhysicsEngine:
             )
         else:
             plane_n = plane_d = plane_group = None  # env: no pair contacts
+            edge_a = edge_b = edge_mask = None
             n_parts = 1
         self._bodies.append(
             {
@@ -383,6 +437,9 @@ class PhysicsEngine:
                 "plane_n": plane_n,
                 "plane_d": plane_d,
                 "plane_group": plane_group,
+                "edge_a": edge_a,
+                "edge_b": edge_b,
+                "edge_mask": edge_mask,
                 "n_parts": n_parts,
                 "radius": float(np.linalg.norm(pts, axis=1).max()),
                 "start_pos": np.asarray(start_pos, np.float64),
@@ -409,6 +466,10 @@ class PhysicsEngine:
         plane_n = np.tile(np.array([0, 0, 1.0], np.float32), (nb, nh, 1))
         plane_d = np.full((nb, nh), 1e9, np.float32)
         plane_group = np.zeros((nb, nh), np.int32)
+        ne = self.max_edges
+        edge_a = np.zeros((nb, ne, 3), np.float32)
+        edge_b = np.zeros((nb, ne, 3), np.float32)
+        edge_mask = np.zeros((nb, ne), bool)
         friction = np.full(nb, 0.5, np.float32)
         restitution = np.zeros(nb, np.float32)
         body_mask = np.zeros(nb, bool)
@@ -437,6 +498,10 @@ class PhysicsEngine:
                 plane_n[i] = body["plane_n"]
                 plane_d[i] = body["plane_d"]
                 plane_group[i] = body["plane_group"]
+            if body.get("edge_a") is not None:
+                edge_a[i] = body["edge_a"]
+                edge_b[i] = body["edge_b"]
+                edge_mask[i] = body["edge_mask"]
 
         params = rb.RigidBodyParams(
             inv_mass=jnp.asarray(inv_mass),
@@ -451,6 +516,9 @@ class PhysicsEngine:
             plane_n=jnp.asarray(plane_n),
             plane_d=jnp.asarray(plane_d),
             plane_group=jnp.asarray(plane_group),
+            edge_a=jnp.asarray(edge_a),
+            edge_b=jnp.asarray(edge_b),
+            edge_mask=jnp.asarray(edge_mask),
             # specialize the unrolled group loop to what the scene needs:
             # all-convex scenes keep the single-group fast path
             num_hull_parts=max(

@@ -15,7 +15,8 @@ Model
 * collision geometry: per-body point cloud (hull vertices of the URDF
   collision mesh) against the environment ground plane z=0 — PEGASUS
   environments are plane-aligned by construction (align2plane,
-  SURVEY 2.3.3) — plus sphere-sphere contacts between objects;
+  SURVEY 2.3.3) — plus point-vs-hull and edge-vs-edge contacts between
+  objects (the two feature classes of a convex manifold);
 * contacts: impulse-based with Baumgarte positional bias, Coulomb
   friction, Jacobi iterations (impulses split across active points);
 * integrator: semi-implicit Euler, quaternion kinematics
@@ -75,6 +76,9 @@ class RigidBodyParams:
     plane_d: jnp.ndarray = None  # [B, H] facet offsets: inside iff n.x <= d
     plane_group: jnp.ndarray = None  # [B, H] i32 hull part id (multi-hull
     # approximate convex decomposition; padding planes carry d=1e9)
+    edge_a: jnp.ndarray = None  # [B, E, 3] hull edge start points (body frame)
+    edge_b: jnp.ndarray = None  # [B, E, 3] hull edge end points
+    edge_mask: jnp.ndarray = None  # [B, E] bool
     num_hull_parts: int = struct.field(pytree_node=False, default=1)
 
     def __post_init__(self):
@@ -110,6 +114,43 @@ class RigidBodyParams:
                 self,
                 "plane_group",
                 jnp.zeros(self.plane_d.shape, jnp.int32),
+            )
+        if self.edge_a is None:
+            # the 12 box edges from half_extents (engine.py passes real
+            # hull edges for mesh bodies; this is the box fallback)
+            he = jnp.asarray(self.half_extents, jnp.float32)  # [B, 3]
+            b = he.shape[0]
+            corners = jnp.stack(
+                [
+                    jnp.array([sx, sy, sz], jnp.float32)
+                    for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+                ]
+            )  # [8, 3] sign patterns
+            # 12 edges as (corner index, corner index) differing in one axis
+            pairs = jnp.array(
+                [
+                    (a, c)
+                    for a in range(8)
+                    for c in range(a + 1, 8)
+                    if bin(a ^ c).count("1") == 1
+                ],
+                jnp.int32,
+            )  # [12, 2]
+            ca = corners[pairs[:, 0]]  # [12, 3]
+            cb = corners[pairs[:, 1]]
+            object.__setattr__(
+                self, "edge_a", he[:, None, :] * ca[None, :, :]
+            )
+            object.__setattr__(
+                self, "edge_b", he[:, None, :] * cb[None, :, :]
+            )
+        if self.edge_mask is None:
+            object.__setattr__(
+                self,
+                "edge_mask",
+                jnp.broadcast_to(
+                    self.body_mask[:, None], self.edge_a.shape[:2]
+                ),
             )
 
 
@@ -326,6 +367,189 @@ def _pair_contacts(
     return dv, dw
 
 
+def _edge_contacts(
+    state: RigidBodyState,
+    params: RigidBodyParams,
+    dt: float,
+    baumgarte: float,
+    margin: float = 4e-3,
+    shell: float = 2.5e-2,
+):
+    """Edge-edge narrow phase: the contact case point-vs-hull misses.
+
+    Two hulls can interpenetrate with NO vertex of either inside the
+    other (e.g. two thin boxes crossing like an X) — Bullet's persistent
+    manifolds catch this via GJK/EPA edge-edge features
+    (reference: physical_simulation.py:126 steps the LCP solver over
+    them).  Here, for every dynamic pair (i < j) and every hull-edge
+    pair: closest points between the two segments (branchless Ericson
+    clamp), contact normal = the SAT cross axis cross(d_i, d_j) oriented
+    from j's center toward i's, and signed penetration = -(c_i - c_j).n.
+    For interior (non-endpoint) solutions c_i - c_j is parallel to the
+    cross axis, so |pen| IS the segment distance — the (pen > -margin)
+    & (pen < shell) activation window therefore bounds both approach
+    distance and accepted penetration with no hull-plane tests at all.
+    At dt = 1 ms a step moves bodies well under the shell, so crossings
+    are caught before they tunnel.  Near-parallel edge pairs (face-face
+    contact) are masked out — the point pass owns those.
+
+    Returns (dv [B,3], dw [B,3]) applied equal-and-opposite.
+    """
+    b = state.pos.shape[0]
+    R = quat.quat_to_rotmat(state.rot)  # [B, 3, 3]
+    inv_I_world = jnp.einsum("bij,bj,bkj->bik", R, params.inv_inertia, R)
+    a_w = state.pos[:, None, :] + jnp.einsum("bij,bej->bei", R, params.edge_a)
+    b_w = state.pos[:, None, :] + jnp.einsum("bij,bej->bei", R, params.edge_b)
+
+    # broad phase, ordered pairs only (i < j): each unordered pair is
+    # computed once and applied +/- to both bodies
+    diff = state.pos[:, None, :] - state.pos[None, :, :]
+    dist_c = jnp.linalg.norm(diff + jnp.eye(b)[..., None], axis=-1)
+    rsum = params.radius[:, None] + params.radius[None, :]
+    dynamic = (params.inv_mass > 0) & params.body_mask
+    upper = jnp.triu(jnp.ones((b, b), bool), k=1)
+    pair_ok = dynamic[:, None] & dynamic[None, :] & upper & (dist_c < rsum)
+
+    # segment-segment closest points, [B_i, B_j, E_i, E_j]
+    a1 = a_w[:, None, :, None, :]
+    d1 = (b_w - a_w)[:, None, :, None, :]
+    a2 = a_w[None, :, None, :, :]
+    d2 = (b_w - a_w)[None, :, None, :, :]
+    r0 = a1 - a2
+    A = jnp.sum(d1 * d1, -1)
+    E2 = jnp.sum(d2 * d2, -1)
+    C = jnp.sum(d1 * r0, -1)
+    F = jnp.sum(d2 * r0, -1)
+    Bd = jnp.sum(d1 * d2, -1)
+    den = A * E2 - Bd * Bd
+    s = jnp.clip(
+        jnp.where(den > 1e-12, (Bd * F - C * E2) / jnp.where(den > 1e-12, den, 1.0), 0.0),
+        0.0, 1.0,
+    )
+    t = jnp.clip((Bd * s + F) / jnp.maximum(E2, 1e-12), 0.0, 1.0)
+    s = jnp.clip((Bd * t - C) / jnp.maximum(A, 1e-12), 0.0, 1.0)
+    c1 = a1 + s[..., None] * d1
+    c2 = a2 + t[..., None] * d2
+
+    # SAT cross axis, oriented from j toward i by body centers
+    n = jnp.cross(jnp.broadcast_to(d1, c1.shape), jnp.broadcast_to(d2, c2.shape))
+    n_norm = jnp.linalg.norm(n, axis=-1)
+    sin_angle = n_norm / jnp.maximum(jnp.sqrt(A * E2), 1e-12)
+    n = n / jnp.maximum(n_norm, 1e-9)[..., None]
+    sign = jnp.sign(jnp.sum(n * diff[:, :, None, None, :], -1))
+    n = n * jnp.where(sign == 0.0, 1.0, sign)[..., None]
+    pen = -jnp.sum((c1 - c2) * n, -1)
+
+    active = (
+        pair_ok[:, :, None, None]
+        & params.edge_mask[:, None, :, None]
+        & params.edge_mask[None, :, None, :]
+        & (sin_angle > 0.05)
+        & (pen > -margin)
+        & (pen < shell)
+    )
+
+    # manifold cap: keep only the 4 deepest candidates per pair (Bullet's
+    # persistent manifolds are 4-point too), then validate each contact
+    # midpoint against BOTH bodies' hull unions — this rejects phantom
+    # contacts across concavity openings (box-fallback / full-hull edges
+    # span the mouth of a channel; the real decomposed hulls do not
+    # contain the midpoint there).
+    K = 4
+    e1, e2 = pen.shape[2], pen.shape[3]
+    score = jnp.where(active, pen, -jnp.inf).reshape(b, b, e1 * e2)
+    top_pen, top_idx = jax.lax.top_k(score, K)  # [B, B, K]
+
+    def pick(v):  # [B,B,E,E,3] -> [B,B,K,3]
+        flat = v.reshape(b, b, e1 * e2, 3)
+        return jnp.take_along_axis(flat, top_idx[..., None], axis=2)
+
+    c1k, c2k, nk = pick(c1), pick(c2), pick(n)
+    pen_k = top_pen
+    active_k = jnp.isfinite(top_pen)
+
+    m = 0.5 * (c1k + c2k)  # [B, B, K, 3]
+    # hull-union membership of the midpoint, in both bodies' frames
+    def union_depth(p_world, frame):  # frame 'i' or 'j'
+        if frame == "j":
+            rel = p_world - state.pos[None, :, None, :]
+            p_loc = jnp.einsum("jab,ijka->ijkb", R, rel)
+            facet = (params.plane_d + margin)[None, :, None, :] - jnp.einsum(
+                "jha,ijka->ijkh", params.plane_n, p_loc
+            )
+            group = params.plane_group[None, :, None, :]
+            real = (params.plane_d < 1e8)[None, :, None, :]
+        else:
+            rel = p_world - state.pos[:, None, None, :]
+            p_loc = jnp.einsum("iab,ijka->ijkb", R, rel)
+            facet = (params.plane_d + margin)[:, None, None, :] - jnp.einsum(
+                "iha,ijka->ijkh", params.plane_n, p_loc
+            )
+            group = params.plane_group[:, None, None, :]
+            real = (params.plane_d < 1e8)[:, None, None, :]
+        depth = jnp.full(facet.shape[:3], -jnp.inf)
+        for g in range(params.num_hull_parts):
+            in_g = group == g
+            pen_g = jnp.min(jnp.where(in_g, facet, jnp.inf), axis=-1)
+            exists_g = jnp.any(in_g & real, axis=-1)
+            pen_g = jnp.where(
+                exists_g & jnp.isfinite(pen_g), pen_g, -jnp.inf
+            )
+            depth = jnp.maximum(depth, pen_g)
+        return depth  # [B, B, K]; > 0 iff inside some hull part (+margin)
+
+    active_k = (
+        active_k & (union_depth(m, "j") > 0.0) & (union_depth(m, "i") > 0.0)
+    )
+
+    # impulse at each surviving manifold point
+    r_i = m - state.pos[:, None, None, :]
+    r_j = m - state.pos[None, :, None, :]
+    u = (
+        state.linvel[:, None, None, :]
+        + jnp.cross(state.angvel[:, None, None, :], r_i)
+        - state.linvel[None, :, None, :]
+        - jnp.cross(state.angvel[None, :, None, :], r_j)
+    )
+    u_n = jnp.sum(u * nk, -1)
+    rxn_i = jnp.cross(r_i, nk)
+    rxn_j = jnp.cross(r_j, nk)
+    ang_i = jnp.einsum("ijka,iab,ijkb->ijk", rxn_i, inv_I_world, rxn_i)
+    ang_j = jnp.einsum("ijka,jab,ijkb->ijk", rxn_j, inv_I_world, rxn_j)
+    m_eff = 1.0 / jnp.maximum(
+        params.inv_mass[:, None, None]
+        + params.inv_mass[None, :, None]
+        + ang_i + ang_j,
+        1e-9,
+    )
+    pen_k = jnp.where(active_k, pen_k, 0.0)
+    # the Baumgarte bias is a TARGET separation velocity, not an additive
+    # term: drive u_n up to `bias` and no further, else the solver
+    # iterations pump velocity into resting contacts and launch bodies
+    bias = jnp.minimum((baumgarte / dt) * jnp.maximum(pen_k, 0.0), 1.0)
+    jn = m_eff * jnp.maximum(bias - u_n, 0.0)
+    n_pair = jnp.maximum(jnp.sum(active_k, axis=2, keepdims=True), 1)
+    jn = jnp.where(active_k, jn, 0.0) / n_pair
+
+    u_t = u - u_n[..., None] * nk
+    u_t_norm = jnp.linalg.norm(u_t, axis=-1)
+    t_hat = u_t / jnp.maximum(u_t_norm, 1e-9)[..., None]
+    mu = jnp.minimum(params.friction[:, None], params.friction[None, :])[
+        :, :, None
+    ]
+    jt = jnp.minimum(m_eff * u_t_norm / n_pair, mu * jn)
+    jt = jnp.where(active_k, jt, 0.0)
+
+    imp = jn[..., None] * nk - jt[..., None] * t_hat  # on i (+), on j (-)
+    sum_as_i = jnp.sum(imp, axis=(1, 2))  # [B, 3]
+    sum_as_j = jnp.sum(imp, axis=(0, 2))
+    dv = params.inv_mass[:, None] * (sum_as_i - sum_as_j)
+    torque_i = jnp.sum(jnp.cross(r_i, imp), axis=(1, 2))
+    torque_j = -jnp.sum(jnp.cross(r_j, imp), axis=(0, 2))
+    dw = jnp.einsum("bij,bj->bi", inv_I_world, torque_i + torque_j)
+    return dv, dw
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def step(
     params: RigidBodyParams,
@@ -344,10 +568,18 @@ def step(
     st = state.replace(linvel=linvel)
 
     def solve(i, st):
+        # Gauss-Seidel over the three passes: each sees the previous
+        # pass's velocity update, so a contact already resolved by the
+        # point pass leaves no approach velocity for the edge pass to
+        # stop again (simultaneous application double-counts the stopping
+        # impulse and LAUNCHES stacked drops).
         dv_p, dw_p = _ground_contacts(st, params, hf, dt, baumgarte, slop)
+        st = st.replace(linvel=st.linvel + dv_p, angvel=st.angvel + dw_p)
         dv_s, dw_s = _pair_contacts(st, params, dt, baumgarte)
+        st = st.replace(linvel=st.linvel + dv_s, angvel=st.angvel + dw_s)
+        dv_e, dw_e = _edge_contacts(st, params, dt, baumgarte)
         return st.replace(
-            linvel=st.linvel + dv_p + dv_s, angvel=st.angvel + dw_p + dw_s
+            linvel=st.linvel + dv_e, angvel=st.angvel + dw_e
         )
 
     st = jax.lax.fori_loop(0, iters, solve, st)

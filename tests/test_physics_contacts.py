@@ -201,3 +201,86 @@ def test_stacked_drop_no_interpenetration():
         pos_f[1], np.asarray(final.rot)[1], np.asarray(he),
     )
     assert pen < 0.006, f"stack interpenetrates {pen * 1e3:.1f} mm"
+
+
+def _corners_only_params(halfs, masses, friction=0.5):
+    """Like multi_box_params but collision points are the 8 CORNERS only —
+    no face centers or edge midpoints, so point-vs-hull cannot resolve a
+    mid-span edge crossing and the edge-edge narrow phase is isolated."""
+    n_bodies = 1 + len(halfs)
+    signs = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float32,
+    )
+    points = np.zeros((n_bodies, 8, 3), np.float32)
+    point_mask = np.zeros((n_bodies, 8), bool)
+    he_arr = np.full((n_bodies, 3), 1e-3, np.float32)
+    inv_mass = np.zeros(n_bodies, np.float32)
+    inv_inertia = np.zeros((n_bodies, 3), np.float32)
+    radius = np.full(n_bodies, 1e-3, np.float32)
+    for i, (h, m) in enumerate(zip(halfs, masses), start=1):
+        points[i] = signs * np.asarray(h, np.float32)
+        point_mask[i] = True
+        he_arr[i] = h
+        inv_mass[i] = 1.0 / m
+        ext = 2 * np.asarray(h)
+        inertia = (m / 12.0) * np.array(
+            [
+                ext[1] ** 2 + ext[2] ** 2,
+                ext[0] ** 2 + ext[2] ** 2,
+                ext[0] ** 2 + ext[1] ** 2,
+            ]
+        )
+        inv_inertia[i] = 1.0 / inertia
+        radius[i] = float(np.linalg.norm(h))
+    return rb.RigidBodyParams(
+        inv_mass=jnp.asarray(inv_mass),
+        inv_inertia=jnp.asarray(inv_inertia),
+        points=jnp.asarray(points),
+        point_mask=jnp.asarray(point_mask),
+        radius=jnp.asarray(radius),
+        friction=jnp.full((n_bodies,), friction),
+        restitution=jnp.zeros((n_bodies,)),
+        body_mask=jnp.ones((n_bodies,), bool),
+        half_extents=jnp.asarray(he_arr),
+    )
+
+
+def test_crossed_thin_boxes_edge_edge_contact():
+    """Two long thin boxes crossed like an X: the upper one must come to
+    rest ON the lower one purely through an edge-edge contact — no vertex
+    of either box is ever inside the other, the failure case of pure
+    point-vs-hull narrow phases (Bullet resolves it via GJK edge-edge
+    features, reference: physical_simulation.py:126).  The counterfactual
+    (edge pass masked off) is asserted to TUNNEL, proving the fixture
+    isolates the edge-edge path."""
+    he1 = (0.25, 0.03, 0.03)  # long in x, on the ground
+    he2 = (0.03, 0.25, 0.03)  # long in y, dropped crossing it
+    params = _corners_only_params([he1, he2], [0.5, 0.2], friction=0.6)
+
+    pos0 = np.array(
+        [[0, 0, 0], [0, 0, he1[2]], [0.0, 0.0, 0.14]], np.float32
+    )
+    rot0 = np.tile([1.0, 0, 0, 0], (3, 1)).astype(np.float32)
+    state0 = rb.RigidBodyState.rest(pos0, rot0)
+
+    traj, final = rb.simulate(params, state0, n_steps=1500)
+    z_top = float(final.pos[2, 2])
+    rest_z = 2 * he1[2] + he2[2]  # 0.09: resting across box1's top
+    assert abs(z_top - rest_z) < 0.012, (
+        f"crossed box rest z {z_top:.4f} vs {rest_z} — edge contact failed"
+    )
+    assert abs(float(final.pos[1, 2]) - he1[2]) < 0.012
+    assert float(jnp.linalg.norm(final.linvel[2])) < 0.2
+
+    # counterfactual: with edge-edge contacts masked off, the upper box
+    # falls THROUGH the lower one (corners never penetrate its hull)
+    params_no_edge = params.replace(
+        edge_mask=jnp.zeros_like(params.edge_mask)
+    )
+    _, final_ne = rb.simulate(params_no_edge, state0, n_steps=1500)
+    z_ne = float(final_ne.pos[2, 2])
+    assert z_ne < rest_z - 0.025, (
+        f"counterfactual rested at {z_ne:.4f} — fixture does not isolate "
+        "the edge-edge path"
+    )
