@@ -201,12 +201,14 @@ def _ground_contacts(
     m_eff_inv = params.inv_mass[:, None] + ang_term
     m_eff = 1.0 / jnp.maximum(m_eff_inv, 1e-9)
 
-    # normal impulse: stop approach velocity + Baumgarte position bias
+    # normal impulse toward a TARGET separation velocity: the larger of
+    # the Baumgarte bias and the restitution bounce.  Driving u_n *to*
+    # the target (rather than adding the bias unconditionally) stops the
+    # solver iterations from pumping velocity into resting contacts.
     bias = (baumgarte / dt) * jnp.maximum(pen - slop, 0.0)
     e = params.restitution[:, None]
-    target = -(1.0 + e) * jnp.minimum(u_n, 0.0) + bias
-    jn = jnp.where(active, m_eff * target, 0.0)
-    jn = jnp.maximum(jn, 0.0)
+    target = jnp.maximum(-e * jnp.minimum(u_n, 0.0), bias)
+    jn = jnp.where(active, m_eff * jnp.maximum(target - u_n, 0.0), 0.0)
 
     # friction impulse: oppose tangential velocity, clamped by mu * jn
     u_t = u - u_n[..., None] * n
@@ -332,12 +334,12 @@ def _pair_contacts(
         1e-9,
     )
 
-    # positional bias only for penetration beyond the margin shell
     # positional bias only for penetration beyond the margin shell;
     # capped so deeply-overlapping spawns separate gently instead of
-    # being launched (Bullet similarly caps penetration recovery)
+    # being launched (Bullet similarly caps penetration recovery).  The
+    # bias is a TARGET separation velocity (see _ground_contacts).
     bias = jnp.minimum((baumgarte / dt) * jnp.maximum(depth - margin, 0.0), 1.0)
-    jn = m_eff * (jnp.maximum(-u_n, 0.0) + bias)
+    jn = m_eff * jnp.maximum(bias - u_n, 0.0)
     # Jacobi split PER PAIR with over-relaxation: contacts of one pair
     # share (roughly) a direction, so dividing by the pair's count and
     # relaxing toward full correction converges in few sweeps without the
