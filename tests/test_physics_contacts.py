@@ -284,3 +284,38 @@ def test_crossed_thin_boxes_edge_edge_contact():
         f"counterfactual rested at {z_ne:.4f} — fixture does not isolate "
         "the edge-edge path"
     )
+
+
+def test_hull_edges_from_mesh_box():
+    """A box mesh yields exactly its 12 sharp edges (coplanar-crease
+    filtering must not drop real corners), padded and masked to cap."""
+    from pegasus_tpu.physics.engine import hull_edges_from_mesh
+
+    he = np.array([0.05, 0.03, 0.02])
+    verts = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float64,
+    ) * he
+    a, b, mask = hull_edges_from_mesh(verts, k=24)
+    assert mask.sum() == 12
+    lengths = np.linalg.norm(b[mask] - a[mask], axis=1)
+    expect = sorted([2 * he[0]] * 4 + [2 * he[1]] * 4 + [2 * he[2]] * 4)
+    np.testing.assert_allclose(sorted(lengths), expect, atol=1e-6)
+    # endpoints are hull vertices
+    for p in np.concatenate([a[mask], b[mask]]):
+        assert np.min(np.linalg.norm(verts - p, axis=1)) < 1e-6
+
+
+def test_hull_edges_cap_keeps_longest():
+    """With more sharp edges than the cap, the longest are kept."""
+    from pegasus_tpu.physics.engine import hull_edges_from_mesh
+
+    rng = np.random.default_rng(3)
+    verts = rng.normal(size=(64, 3))
+    a8, b8, m8 = hull_edges_from_mesh(verts, k=8)
+    a99, b99, m99 = hull_edges_from_mesh(verts, k=512)
+    if m99.sum() > 8:
+        assert m8.sum() == 8
+        l8 = np.sort(np.linalg.norm(b8[m8] - a8[m8], axis=1))[::-1]
+        l99 = np.sort(np.linalg.norm(b99[m99] - a99[m99], axis=1))[::-1]
+        np.testing.assert_allclose(l8, l99[:8], atol=1e-9)
