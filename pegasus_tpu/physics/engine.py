@@ -125,7 +125,7 @@ def hull_edges_from_mesh(
     verts: np.ndarray, k: int = MAX_EDGES
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Convex-hull edge segments (a [k,3], b [k,3], mask [k]) for the
-    edge-edge narrow phase (rigid_body._edge_contacts).  Edges between
+    edge-edge narrow phase (rigid_body._edge_manifold).  Edges between
     near-coplanar facets are dropped (they are face interiors, owned by
     the point pass); if more remain than k, the LONGEST are kept — long
     edges are the ones a crossing contact can bridge between sampled

@@ -369,11 +369,9 @@ def _pair_contacts(
     return dv, dw
 
 
-def _edge_contacts(
+def _edge_manifold(
     state: RigidBodyState,
     params: RigidBodyParams,
-    dt: float,
-    baumgarte: float,
     margin: float = 4e-3,
     shell: float = 2.5e-2,
 ):
@@ -395,7 +393,14 @@ def _edge_contacts(
     are caught before they tunnel.  Near-parallel edge pairs (face-face
     contact) are masked out — the point pass owns those.
 
-    Returns (dv [B,3], dw [B,3]) applied equal-and-opposite.
+    Everything here is a function of POSITIONS only, so `step` builds
+    the manifold ONCE per timestep and the solver iterations reuse it
+    (only velocities change inside the iteration loop) — the geometric
+    sweep over E x E edge pairs is the expensive part and must not run
+    10x per step.
+
+    Returns (active [B,B,K] bool, pen [B,B,K], n [B,B,K,3],
+    r_i/r_j [B,B,K,3] contact arms, m_eff [B,B,K], inv_I_world [B,3,3]).
     """
     b = state.pos.shape[0]
     R = quat.quat_to_rotmat(state.rot)  # [B, 3, 3]
@@ -459,8 +464,24 @@ def _edge_contacts(
     # contain the midpoint there).
     K = 4
     e1, e2 = pen.shape[2], pen.shape[3]
-    score = jnp.where(active, pen, -jnp.inf).reshape(b, b, e1 * e2)
-    top_pen, top_idx = jax.lax.top_k(score, K)  # [B, B, K]
+    NEG = jnp.float32(-1e30)
+    score = jnp.where(active, pen, NEG).reshape(b, b, e1 * e2)
+    # iterated argmax instead of lax.top_k: top_k lowers to a full sort,
+    # which dominated the vmapped sim; 4 max+argmax reductions are cheap
+    tops, idxs = [], []
+    for _ in range(K):
+        ix = jnp.argmax(score, axis=-1)  # [B, B]
+        vx = jnp.take_along_axis(score, ix[..., None], axis=-1)[..., 0]
+        tops.append(vx)
+        idxs.append(ix)
+        score = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, score.shape, 2)
+            == ix[..., None],
+            NEG,
+            score,
+        )
+    top_pen = jnp.stack(tops, axis=-1)  # [B, B, K]
+    top_idx = jnp.stack(idxs, axis=-1)
 
     def pick(v):  # [B,B,E,E,3] -> [B,B,K,3]
         flat = v.reshape(b, b, e1 * e2, 3)
@@ -468,7 +489,7 @@ def _edge_contacts(
 
     c1k, c2k, nk = pick(c1), pick(c2), pick(n)
     pen_k = top_pen
-    active_k = jnp.isfinite(top_pen)
+    active_k = top_pen > NEG / 2
 
     m = 0.5 * (c1k + c2k)  # [B, B, K, 3]
     # hull-union membership of the midpoint, in both bodies' frames
@@ -504,16 +525,8 @@ def _edge_contacts(
         active_k & (union_depth(m, "j") > 0.0) & (union_depth(m, "i") > 0.0)
     )
 
-    # impulse at each surviving manifold point
     r_i = m - state.pos[:, None, None, :]
     r_j = m - state.pos[None, :, None, :]
-    u = (
-        state.linvel[:, None, None, :]
-        + jnp.cross(state.angvel[:, None, None, :], r_i)
-        - state.linvel[None, :, None, :]
-        - jnp.cross(state.angvel[None, :, None, :], r_j)
-    )
-    u_n = jnp.sum(u * nk, -1)
     rxn_i = jnp.cross(r_i, nk)
     rxn_j = jnp.cross(r_j, nk)
     ang_i = jnp.einsum("ijka,iab,ijkb->ijk", rxn_i, inv_I_world, rxn_i)
@@ -525,6 +538,26 @@ def _edge_contacts(
         1e-9,
     )
     pen_k = jnp.where(active_k, pen_k, 0.0)
+    return active_k, pen_k, nk, r_i, r_j, m_eff, inv_I_world
+
+
+def _edge_impulses(
+    state: RigidBodyState,
+    params: RigidBodyParams,
+    manifold,
+    dt: float,
+    baumgarte: float,
+):
+    """Velocity solve on a precomputed edge manifold (_edge_manifold).
+    Only this part runs inside the solver iterations."""
+    active_k, pen_k, nk, r_i, r_j, m_eff, inv_I_world = manifold
+    u = (
+        state.linvel[:, None, None, :]
+        + jnp.cross(state.angvel[:, None, None, :], r_i)
+        - state.linvel[None, :, None, :]
+        - jnp.cross(state.angvel[None, :, None, :], r_j)
+    )
+    u_n = jnp.sum(u * nk, -1)
     # the Baumgarte bias is a TARGET separation velocity, not an additive
     # term: drive u_n up to `bias` and no further, else the solver
     # iterations pump velocity into resting contacts and launch bodies
@@ -569,6 +602,10 @@ def step(
     linvel = state.linvel + dyn * g * dt
     st = state.replace(linvel=linvel)
 
+    # positions are fixed during the velocity iterations, so the edge
+    # manifold (the expensive E x E geometric sweep) is built ONCE here
+    edge_man = _edge_manifold(st, params)
+
     def solve(i, st):
         # Gauss-Seidel over the three passes: each sees the previous
         # pass's velocity update, so a contact already resolved by the
@@ -579,7 +616,7 @@ def step(
         st = st.replace(linvel=st.linvel + dv_p, angvel=st.angvel + dw_p)
         dv_s, dw_s = _pair_contacts(st, params, dt, baumgarte)
         st = st.replace(linvel=st.linvel + dv_s, angvel=st.angvel + dw_s)
-        dv_e, dw_e = _edge_contacts(st, params, dt, baumgarte)
+        dv_e, dw_e = _edge_impulses(st, params, edge_man, dt, baumgarte)
         return st.replace(
             linvel=st.linvel + dv_e, angvel=st.angvel + dw_e
         )
