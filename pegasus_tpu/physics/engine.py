@@ -136,10 +136,32 @@ def hull_edges_from_mesh(
     a_pad = np.zeros((k, 3), np.float32)
     b_pad = np.zeros((k, 3), np.float32)
     mask = np.zeros(k, bool)
+
+    def _aabb_box_edges():
+        # degenerate hull: the 12 AABB edges (mirrors the box fallback
+        # hull_planes_from_mesh uses, so planes and edges stay consistent)
+        lo, hi = pts.min(0), pts.max(0)
+        he = np.maximum((hi - lo) / 2.0, 1e-4)
+        c = (hi + lo) / 2.0
+        signs = np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+            np.float64,
+        )
+        corners = c + signs * he
+        eidx = [
+            (a, d) for a in range(8) for d in range(a + 1, 8)
+            if bin(a ^ d).count("1") == 1
+        ]
+        kk = min(k, len(eidx))
+        for m_i, (ai, bi) in enumerate(eidx[:kk]):
+            a_pad[m_i], b_pad[m_i] = corners[ai], corners[bi]
+        mask[:kk] = True
+        return a_pad, b_pad, mask
+
     try:
         hull = ConvexHull(pts)
     except Exception:
-        return a_pad, b_pad, mask  # box fallback comes from half_extents
+        return _aabb_box_edges()
     # each hull edge is shared by two simplices; collect with facet normals
     edge_faces: dict[tuple[int, int], list[int]] = {}
     for f, simplex in enumerate(hull.simplices):
@@ -156,7 +178,7 @@ def hull_edges_from_mesh(
                 continue
         edges.append((i, j))
     if not edges:
-        return a_pad, b_pad, mask
+        return _aabb_box_edges()
     seg = pts[np.asarray(edges)]  # [n, 2, 3]
     lengths = np.linalg.norm(seg[:, 1] - seg[:, 0], axis=1)
     order = np.argsort(-lengths)[:k]

@@ -119,7 +119,6 @@ class RigidBodyParams:
             # the 12 box edges from half_extents (engine.py passes real
             # hull edges for mesh bodies; this is the box fallback)
             he = jnp.asarray(self.half_extents, jnp.float32)  # [B, 3]
-            b = he.shape[0]
             corners = jnp.stack(
                 [
                     jnp.array([sx, sy, sz], jnp.float32)
@@ -231,6 +230,28 @@ def _ground_contacts(
     return dv, dw
 
 
+def _hull_union_reduce(facet_pen, group, real, n_groups):
+    """Decomposed-hull membership reduce shared by the point and edge
+    narrow phases: per hull part, the min facet distance (signed; > 0
+    means inside that part's margin shell); the DEEPEST part wins.
+    `group`/`real` broadcast against facet_pen's last (facet) axis.
+    Returns (depth [...], h_star [...]) — h_star is the binding facet
+    index within the winning part (meaningful only where depth > 0)."""
+    depth = jnp.full(facet_pen.shape[:-1], -jnp.inf)
+    h_star = jnp.zeros(facet_pen.shape[:-1], jnp.int32)
+    for g in range(n_groups):
+        in_g = group == g
+        pen_g = jnp.where(in_g, facet_pen, jnp.inf)
+        depth_g = jnp.min(pen_g, axis=-1)
+        h_g = jnp.argmin(pen_g, axis=-1)
+        exists_g = jnp.any(in_g & real, axis=-1)
+        valid_g = jnp.isfinite(depth_g) & exists_g
+        better = valid_g & (depth_g > depth)
+        depth = jnp.where(better, depth_g, depth)
+        h_star = jnp.where(better, h_g, h_star)
+    return depth, h_star
+
+
 def _pair_contacts(
     state: RigidBodyState,
     params: RigidBodyParams,
@@ -281,24 +302,14 @@ def _pair_contacts(
         (params.plane_d + margin)[None, :, None, :]
         - jnp.einsum("jha,ijpa->ijph", params.plane_n, p_local)
     )  # [B_i, B_j, P, H]
-    n_groups = params.num_hull_parts
+    depth, h_star = _hull_union_reduce(
+        facet_pen,
+        params.plane_group[None, :, None, :],
+        (params.plane_d < 1e8)[None, :, None, :],
+        params.num_hull_parts,
+    )
 
-    real_plane = params.plane_d < 1e8  # [B_j, H]
-    NEG = jnp.float32(-1e9)
-    depth = jnp.full(facet_pen.shape[:3], NEG)
-    h_star = jnp.zeros(facet_pen.shape[:3], jnp.int32)
-    for g in range(n_groups):
-        in_g = (params.plane_group == g)[None, :, None, :]  # [1,B_j,1,H]
-        pen_g = jnp.where(in_g, facet_pen, jnp.inf)
-        depth_g = jnp.min(pen_g, axis=-1)  # [B_i,B_j,P]
-        h_g = jnp.argmin(pen_g, axis=-1)
-        exists_g = jnp.any((params.plane_group == g) & real_plane, axis=-1)
-        valid_g = (depth_g > 0.0) & jnp.isfinite(depth_g) & exists_g[None, :, None]
-        better = valid_g & (depth_g > depth)
-        depth = jnp.where(better, depth_g, depth)
-        h_star = jnp.where(better, h_g, h_star)
-
-    inside = (depth > NEG / 2) & pair_ok[:, :, None]
+    inside = (depth > 0.0) & pair_ok[:, :, None]
     inside = inside & params.point_mask[:, None, :]
     depth = jnp.where(inside, depth, 0.0)
     n_local = jnp.take_along_axis(
@@ -373,7 +384,7 @@ def _edge_manifold(
     state: RigidBodyState,
     params: RigidBodyParams,
     margin: float = 4e-3,
-    shell: float = 2.5e-2,
+    shell: float = 4e-2,
 ):
     """Edge-edge narrow phase: the contact case point-vs-hull misses.
 
@@ -383,15 +394,19 @@ def _edge_manifold(
     (reference: physical_simulation.py:126 steps the LCP solver over
     them).  Here, for every dynamic pair (i < j) and every hull-edge
     pair: closest points between the two segments (branchless Ericson
-    clamp), contact normal = the SAT cross axis cross(d_i, d_j) oriented
-    from j's center toward i's, and signed penetration = -(c_i - c_j).n.
-    For interior (non-endpoint) solutions c_i - c_j is parallel to the
-    cross axis, so |pen| IS the segment distance — the (pen > -margin)
-    & (pen < shell) activation window therefore bounds both approach
-    distance and accepted penetration with no hull-plane tests at all.
-    At dt = 1 ms a step moves bodies well under the shell, so crossings
-    are caught before they tunnel.  Near-parallel edge pairs (face-face
-    contact) are masked out — the point pass owns those.
+    clamp), contact normal = the SAT cross axis cross(d_i, d_j), and
+    signed penetration = -(c_i - c_j).n.  Only INTERIOR solutions count
+    (endpoint-clamped ones are vertex-region contacts with arbitrary
+    cross axes — the point pass owns those); for interior solutions
+    c_i - c_j is parallel to the cross axis, so |pen| IS the segment
+    distance and the |pen| < shell window bounds both approach distance
+    and accepted penetration.  The top-4 candidates per pair are then
+    validated against BOTH hull unions (midpoint inside each within the
+    margin), and the normal's final sign comes from j's binding hull
+    facet — local, unlike a body-center heuristic, which flips on long
+    tilted bodies.  At dt = 1 ms a step moves bodies well under the
+    shell, so crossings are caught at first touch before they tunnel.
+    Near-parallel edge pairs (face-face contact) are masked out.
 
     Everything here is a function of POSITIONS only, so `step` builds
     the manifold ONCE per timestep and the solver iterations reuse it
@@ -438,7 +453,10 @@ def _edge_manifold(
     c1 = a1 + s[..., None] * d1
     c2 = a2 + t[..., None] * d2
 
-    # SAT cross axis, oriented from j toward i by body centers
+    # SAT cross axis; provisionally oriented from j toward i by body
+    # centers — the FINAL orientation comes from j's binding hull facet
+    # after selection (body centers misorient long tilted bodies whose
+    # center sits on the far side of the contact)
     n = jnp.cross(jnp.broadcast_to(d1, c1.shape), jnp.broadcast_to(d2, c2.shape))
     n_norm = jnp.linalg.norm(n, axis=-1)
     sin_angle = n_norm / jnp.maximum(jnp.sqrt(A * E2), 1e-12)
@@ -447,13 +465,21 @@ def _edge_manifold(
     n = n * jnp.where(sign == 0.0, 1.0, sign)[..., None]
     pen = -jnp.sum((c1 - c2) * n, -1)
 
+    # endpoint-clamped solutions are VERTEX-region contacts (corner on
+    # edge): their cross-axis normal is arbitrary, and the point pass
+    # owns them — keep interior crossings only, where |pen| IS the
+    # segment distance.  The |pen| window is symmetric because the
+    # provisional sign may be flipped; crossings are caught at first
+    # touch (|pen| ~ 0) either way, so penetration never outruns the
+    # shell before the contact activates.
+    interior = (s > 0.02) & (s < 0.98) & (t > 0.02) & (t < 0.98)
     active = (
         pair_ok[:, :, None, None]
         & params.edge_mask[:, None, :, None]
         & params.edge_mask[None, :, None, :]
         & (sin_angle > 0.05)
-        & (pen > -margin)
-        & (pen < shell)
+        & interior
+        & (jnp.abs(pen) < shell)
     )
 
     # manifold cap: keep only the 4 deepest candidates per pair (Bullet's
@@ -492,7 +518,9 @@ def _edge_manifold(
     active_k = top_pen > NEG / 2
 
     m = 0.5 * (c1k + c2k)  # [B, B, K, 3]
+
     # hull-union membership of the midpoint, in both bodies' frames
+    # (shared reduce with the point pass)
     def union_depth(p_world, frame):  # frame 'i' or 'j'
         if frame == "j":
             rel = p_world - state.pos[None, :, None, :]
@@ -510,20 +538,31 @@ def _edge_manifold(
             )
             group = params.plane_group[:, None, None, :]
             real = (params.plane_d < 1e8)[:, None, None, :]
-        depth = jnp.full(facet.shape[:3], -jnp.inf)
-        for g in range(params.num_hull_parts):
-            in_g = group == g
-            pen_g = jnp.min(jnp.where(in_g, facet, jnp.inf), axis=-1)
-            exists_g = jnp.any(in_g & real, axis=-1)
-            pen_g = jnp.where(
-                exists_g & jnp.isfinite(pen_g), pen_g, -jnp.inf
-            )
-            depth = jnp.maximum(depth, pen_g)
-        return depth  # [B, B, K]; > 0 iff inside some hull part (+margin)
+        return _hull_union_reduce(facet, group, real, params.num_hull_parts)
 
-    active_k = (
-        active_k & (union_depth(m, "j") > 0.0) & (union_depth(m, "i") > 0.0)
-    )
+    depth_j, hstar_j = union_depth(m, "j")
+    depth_i, _ = union_depth(m, "i")
+    active_k = active_k & (depth_j > 0.0) & (depth_i > 0.0)
+
+    # FINAL normal orientation from j's binding facet: the facet whose
+    # plane the midpoint is deepest behind points OUT of j at the
+    # contact, so the contact normal (from j toward i) must have a
+    # positive component along it.  This is local — immune to the
+    # body-center heuristic's flip on long tilted bodies.
+    facet_n_local = jnp.take_along_axis(
+        jnp.broadcast_to(
+            params.plane_n[None, :, None, :, :],
+            (b, b, K, params.plane_n.shape[1], 3),
+        ),
+        hstar_j[..., None, None].repeat(3, -1),
+        axis=-2,
+    )[..., 0, :]  # [B, B, K, 3] in j's frame
+    facet_n_world = jnp.einsum("jab,ijkb->ijka", R, facet_n_local)
+    dotf = jnp.sum(nk * facet_n_world, -1)
+    flip = jnp.where(jnp.abs(dotf) > 1e-6, jnp.sign(dotf), 1.0)
+    nk = nk * flip[..., None]
+    pen_k = pen_k * flip
+    active_k = active_k & (pen_k > -margin)
 
     r_i = m - state.pos[:, None, None, :]
     r_j = m - state.pos[None, :, None, :]

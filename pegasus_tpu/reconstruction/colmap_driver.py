@@ -14,6 +14,7 @@ ImageMagick (reference: convert.py:90-122).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import subprocess
 from pathlib import Path
@@ -36,7 +37,7 @@ class COLMAPReconstruction:
         resize: float | bool = False,
         single_camera: bool = True,
         gpu: bool = False,
-        colmap_exe: str = "colmap",
+        colmap_exe: str | None = None,  # default: $COLMAP_EXE or "colmap"
         magick_exe: str = "magick",  # accepted for API parity; Pillow is used
     ):
         self.image_path = Path(image_path)
@@ -47,7 +48,7 @@ class COLMAPReconstruction:
         self.resize = resize
         self.single_camera = single_camera
         self.gpu = gpu
-        self.colmap_exe = colmap_exe
+        self.colmap_exe = colmap_exe or os.environ.get("COLMAP_EXE", "colmap")
         self.output_path.mkdir(parents=True, exist_ok=True)
         self._stage_cache = self.output_path / "stages.json"
 

@@ -319,3 +319,46 @@ def test_hull_edges_cap_keeps_longest():
         l8 = np.sort(np.linalg.norm(b8[m8] - a8[m8], axis=1))[::-1]
         l99 = np.sort(np.linalg.norm(b99[m99] - a99[m99], axis=1))[::-1]
         np.testing.assert_allclose(l8, l99[:8], atol=1e-9)
+
+
+def test_edge_normal_oriented_by_facet_not_centers():
+    """A steeply tilted rod whose LOW end is crossed from above by a second
+    rod: the true contact normal points DOWN (from the upper rod j toward
+    the lower rod i), but the body-center offset points UP (i's center is
+    far above j's).  The manifold must orient by j's binding hull facet,
+    not by centers — a center-oriented normal here flips the impulse and
+    pulls the rods together."""
+    import pegasus_tpu.physics.rigid_body as rbm
+
+    theta = np.deg2rad(60.0)
+    he_i = (0.4, 0.02, 0.02)   # long rod, tilted about +y: +x end dips
+    he_j = (0.02, 0.4, 0.02)   # crossing rod, long in y
+    params = _corners_only_params([he_i, he_j], [0.3, 0.3])
+
+    rot_i = np.array(
+        [np.cos(theta / 2), 0.0, np.sin(theta / 2), 0.0], np.float32
+    )
+    end = np.array([0.4 * np.cos(theta), 0.0, -0.4 * np.sin(theta)])
+    pos_i = np.array([0.0, 0.0, 0.45], np.float32)
+    low_end = pos_i + end.astype(np.float32)      # z ~ 0.104
+    # j crosses just above i's low end: i's upper surface ~ low_end.z+0.02,
+    # j's lower surface 0.02 below its center -> ~3 mm overlap
+    pos_j = np.array([low_end[0], 0.0, low_end[2] + 0.037], np.float32)
+
+    pos0 = np.stack([np.zeros(3, np.float32), pos_i, pos_j])
+    rot0 = np.stack(
+        [np.array([1, 0, 0, 0], np.float32), rot_i,
+         np.array([1, 0, 0, 0], np.float32)]
+    )
+    state = rb.RigidBodyState.rest(pos0, rot0)
+
+    active, pen, n, r_i, r_j, m_eff, _ = rbm._edge_manifold(state, params)
+    act = np.asarray(active[1, 2])
+    nz = np.asarray(n[1, 2, :, 2])
+    assert act.any(), "no edge contact found at the crossing"
+    # every active contact normal points DOWN (from j toward i), despite
+    # pos_i - pos_j having a +z component of ~0.3
+    assert float(pos0[1, 2] - pos0[2, 2]) > 0.25
+    # the SAT cross axis of a 60-deg rod and a y-rod has |n_z| = 0.5; the
+    # point is its SIGN: facet orientation gives -0.5, centers give +0.5
+    assert (nz[act] < -0.3).all(), f"normals not facet-oriented: {nz[act]}"
