@@ -177,3 +177,88 @@ def rasterize_splat_sharded(
         vis_weights=acc[..., 5 + k : 5 + 2 * k],
         amodal=1.0 - jnp.exp(amodal_log),
     )
+
+
+def rasterize_splat_sharded_batch(
+    clouds: GaussianCloud,
+    cams: Camera,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    scene_axis: str = "scene",
+    splat_axis: str = "splat",
+    background=(0.0, 0.0, 0.0),
+    max_objects: int = 8,
+    chunk: int = 256,
+    backend: str = "golden",
+    interpret: bool = False,
+) -> RenderOutputs:
+    """HYBRID 2D sharding: a scene batch data-parallel over `scene_axis`
+    with every scene's splats model-parallel over `splat_axis` — one
+    shard_map program on a 2D mesh (no reference counterpart; the
+    reference is single-GPU, SURVEY 2.2 parallelism audit).
+
+    `clouds`/`cams` carry a leading scene axis [S, ...]; S must be a
+    multiple of the scene-axis size and the (padded) splat count a
+    power-of-two-shardable multiple of the splat-axis size.  Each device
+    composites its scene rows' splat shard locally, then the ordered
+    butterfly runs along `splat_axis` only — scene rows never
+    communicate.  Returns RenderOutputs with leading scene axis [S, ...].
+    """
+    n_sp = mesh.shape[splat_axis]
+    n_sc = mesh.shape[scene_axis]
+    s, n = clouds.xyz.shape[0], clouds.xyz.shape[1]
+    if s % n_sc:
+        raise ValueError(f"scene batch ({s}) must divide over {n_sc} shards")
+    if n % n_sp:
+        raise ValueError(f"pad splats ({n}) to a multiple of {n_sp}")
+    if n_sp & (n_sp - 1):
+        raise ValueError(f"splat axis size {n_sp} must be a power of two")
+
+    proj = jax.vmap(lambda cl, c: project_gaussians(cl, c))(clouds, cams)
+    order = jnp.argsort(jnp.where(proj.valid, proj.depth, jnp.inf), axis=1)
+    proj = jax.tree.map(
+        lambda x: jnp.take_along_axis(x, order, axis=1), proj
+    )
+
+    k = max_objects
+    steps = int(math.log2(n_sp))
+
+    def shard_fn(proj_shard):  # fields [S_local, N / n_sp]
+        payload = jax.vmap(
+            lambda p: _local_render(
+                backend, p, width, height, k, chunk, interpret
+            )
+        )(proj_shard)  # [S_local, H, W, C]
+        idx = jax.lax.axis_index(splat_axis)
+        for st in range(steps):
+            d = 1 << st
+            perm = [(i, i ^ d) for i in range(n_sp)]
+            other = jax.lax.ppermute(payload, splat_axis, perm)
+            lower = (idx & d) == 0
+            near = jnp.where(lower, payload, other)
+            far = jnp.where(lower, other, payload)
+            payload = _over(near, far, k)
+        return payload
+
+    payload = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(scene_axis, splat_axis), proj),),
+        out_specs=P(scene_axis),
+        check_vma=False,
+    )(proj)  # [S, H, W, C]
+
+    acc = payload[..., : 5 + 2 * k]
+    amodal_log = payload[..., 5 + 2 * k : 5 + 3 * k]
+    t_full = payload[..., 5 + 3 * k : 5 + 3 * k + 1]
+    background = jnp.asarray(background, jnp.float32)
+    rgb = acc[..., 0:3] + t_full * background[None, None, None, :]
+    return RenderOutputs(
+        rgb=rgb,
+        depth=acc[..., 3],
+        alpha=acc[..., 4],
+        seg_weights=acc[..., 5 : 5 + k],
+        vis_weights=acc[..., 5 + k : 5 + 2 * k],
+        amodal=1.0 - jnp.exp(amodal_log),
+    )

@@ -99,3 +99,42 @@ def test_scene_batch_sharding(scene_and_cam):
     assert bool(jnp.all(jnp.isfinite(rgb)))
     # shifted scenes give different images
     assert float(jnp.abs(rgb[0] - rgb[7]).max()) > 0.05
+
+
+def test_hybrid_scene_by_splat_mesh(scene_and_cam):
+    """2D hybrid: 4 scenes DP over 'scene' x splats MP over 'splat' on a
+    (2, 4) mesh, one shard_map program.  Every scene must match its own
+    single-device golden render (scene rows never mix)."""
+    from pegasus_tpu.parallel.sharded_render import (
+        rasterize_splat_sharded_batch,
+    )
+
+    scene, cam = scene_and_cam
+    rng = np.random.default_rng(11)
+    pad = (-scene.num_splats) % 4
+    scenes = []
+    for i in range(4):
+        jit = scene.replace(
+            xyz=scene.xyz + jnp.asarray(
+                rng.normal(size=scene.xyz.shape) * 0.01, jnp.float32
+            )
+        )
+        scenes.append(jit.padded(scene.num_splats + pad))
+    clouds = jax.tree.map(lambda *x: jnp.stack(x), *scenes)
+    cams = jax.tree.map(lambda *x: jnp.stack(x), *([cam] * 4))
+
+    mesh = make_mesh((2, 4), ("scene", "splat"))
+    out = jax.jit(
+        lambda cl, c: rasterize_splat_sharded_batch(
+            cl, c, mesh, width=cam.width, height=cam.height,
+            background=(0.2, 0.1, 0.3), max_objects=4, chunk=128,
+        )
+    )(clouds, cams)
+    assert out.rgb.shape == (4, cam.height, cam.width, 3)
+
+    for i in range(4):
+        ref = rasterize_reference(
+            scenes[i], cam, background=(0.2, 0.1, 0.3), max_objects=4
+        )
+        assert psnr(ref.rgb, out.rgb[i]) > 40, f"scene {i}"
+        assert psnr(ref.amodal, out.amodal[i]) > 40, f"scene {i} amodal"
