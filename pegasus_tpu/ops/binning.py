@@ -11,12 +11,17 @@ shape static and — crucially — GATHER-FREE:
     measured 12-36 ms on TPU; all are avoided);
   * depth ordering rides the sort key: key = tile_id << depth_bits |
     depth_rank, so ONE 32-bit sort yields per-tile depth-ordered segments;
-  * the 16 packed splat parameters travel through the sort AS PAYLOAD
-    OPERANDS — measured on TPU, lax.sort with 16 payload columns costs the
-    same as a bare key sort (~5 ms @ 1.8M), while reordering via row
-    gathers costs 7-22 ms.  The output is a transposed [16, M] parameter
-    matrix whose lane axis is entry order: exactly the layout the Pallas
-    kernel DMAs.
+  * the sort carries ONE index payload and the 16 packed parameters are
+    row-gathered from the compact [N+1, 16] matrix afterwards.  The
+    alternative — riding all 16 columns through the sort as payload
+    operands — looks cheaper in isolation but LOSES end to end
+    (v5e, carry-threaded fori_loop timing: 640x480 frame 14.4 -> 26.7 ms
+    at 210k splats, 32.6 -> 57.8 ms at 1M), because each column must
+    first be broadcast to slot-major entry layout (16 x 2.5M f32 of HBM
+    writes) while the post-sort gather reads only live entries from a
+    matrix that stays splat-sized.  The output is a transposed [16, M]
+    parameter matrix whose lane axis is entry order: exactly the layout
+    the Pallas kernel DMAs.
 """
 
 from __future__ import annotations
