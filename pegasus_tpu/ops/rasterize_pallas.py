@@ -364,7 +364,17 @@ def rasterize_pallas(
     if big_budget is None:
         big_budget = 32768 if cloud.num_splats > LARGE_SCENE_SPLATS else 16384
     if a_big is None:
-        a_big = 16 if cloud.num_splats > LARGE_SCENE_SPLATS else 36
+        # swept on v5e (640x480 bench scenes, parity vs golden): the big
+        # bucket's slot grid is ~95% dead at a_big=36 (210k scene: 28k
+        # live extras in 590k slots), and shrinking it cuts the dominant
+        # sort+gather length.  a_big=12 at 210k: 69.6 -> 77.9 fps with
+        # IDENTICAL 59.35 dB far-view parity (a_big=8 dips parity);
+        # a_big=8 at 1M: 30.7 -> 31.2 fps at the same 46.2 dB.  Cost is
+        # paid only at unusually close viewpoints (large footprints
+        # clamp at a_small + a_big tiles: near-view parity 32.6 -> 31.7
+        # dB at 210k — already below the 40 dB regime at a_big=36;
+        # pass a_big=36, big_budget=32768 explicitly for closeups).
+        a_big = 8 if cloud.num_splats > LARGE_SCENE_SPLATS else 12
     if entry_cap is None and cloud.num_splats > LARGE_SCENE_SPLATS:
         # sort slots are ~2x the live entry count at 1M splats (most are
         # subpixel: measured live 1.336M of 2.52M slots); truncating the
