@@ -47,6 +47,27 @@ P_RADIUS = 10
 P_OBJ = 11
 P_ENV = 12  # 1.0 if environment splat (object_id == 0)
 
+# 8-row GENERATION layout (bin_splats(pack8=True)): the entry gather is
+# per-index bound AND slowed by table row bytes past ~16 B (measured in
+# benchmarks/gather_variants_tpu.py: [1M,16] f32 18.6 ms vs [1M,8] 11.6
+# at 1.5M random indices), so the generation path packs the 6 fields that
+# tolerate fixed-point into 2 bitcast u32 words next to the 6 that do not
+# (means/conics/depth need f32: 16-bit means alias at >=1/16 px).  Row
+# count must be a multiple of 8 (Mosaic DMA slices tile sublanes by 8).
+# Quantization noise: 10-bit color over [0, COLOR_MAX] ~59 dB, 14-bit
+# opacity ~107 dB — far above the 40 dB parity gate; radius is EXACT
+# (integer-valued ceil(3 sigma), and capping at 1023 cannot change the
+# |dx| <= rad test since |dx| <= width < 1023), object ids < 256 exact.
+# Differentiable paths keep the 16-row f32 layout (quantization has no
+# useful gradient).
+PACKED8_DIM = 8
+P8_MX, P8_MY = 0, 1
+P8_CA, P8_CB, P8_CC = 2, 3, 4
+P8_DEPTH = 5
+P8_RGB = 6  # r10 | g10 << 10 | b10 << 20, fixed-point over [0, COLOR_MAX]
+P8_ORO = 7  # opac14 | min(radius, 1023) << 14 | object_id << 24
+COLOR_MAX = 4.0  # colors are max(SH+0.5, 0); >4 is clipped (unseen in practice)
+
 
 class TileBins(NamedTuple):
     """Depth-ordered per-tile entry segments, transposed parameter layout.
@@ -153,6 +174,33 @@ def _pack_columns(proj: ProjectedGaussians):
     ]
 
 
+def _pack_columns8(proj: ProjectedGaussians):
+    """8 per-splat parameter columns (PACKED8 layout, generation only)."""
+
+    def q(v, vmax, levels):
+        return jnp.round(
+            jnp.clip(v, 0.0, vmax) * (levels / vmax)
+        ).astype(jnp.uint32)
+
+    rq = q(proj.color_r, COLOR_MAX, 1023.0)
+    gq = q(proj.color_g, COLOR_MAX, 1023.0)
+    bq = q(proj.color_b, COLOR_MAX, 1023.0)
+    oq = q(proj.opacity, 1.0, 16383.0)
+    radq = jnp.minimum(proj.radius, 1023.0).astype(jnp.uint32)
+    objq = jnp.clip(proj.object_id, 0, 255).astype(jnp.uint32)
+    bc = lambda w: jax.lax.bitcast_convert_type(w, jnp.float32)
+    return [
+        proj.mean_x,
+        proj.mean_y,
+        proj.conic_a,
+        proj.conic_b,
+        proj.conic_c,
+        proj.depth,
+        bc(rq | (gq << 10) | (bq << 20)),
+        bc(oq | (radq << 14) | (objq << 24)),
+    ]
+
+
 def bin_splats(
     proj: ProjectedGaussians,
     width: int,
@@ -164,6 +212,8 @@ def bin_splats(
     lane_pad: int = 1024,
     entry_cap: int | None = None,
     with_entry_origin: bool = False,
+    pack8: bool = False,
+    _stage: str | None = None,
 ) -> TileBins:
     """with_entry_origin: carry each entry's pre-sort slot position as an
     extra sort payload and route the parameter gather through the
@@ -172,6 +222,8 @@ def bin_splats(
     differentiates)."""
     if with_entry_origin and entry_cap is not None:
         raise ValueError("with_entry_origin requires entry_cap=None")
+    if with_entry_origin and pack8:
+        raise ValueError("pack8 is generation-only (no useful gradient)")
     n = proj.mean_x.shape[0]
     ntx = -(-width // tile)
     nty = -(-height // tile)
@@ -205,6 +257,8 @@ def bin_splats(
     w_t = tx1 - tx0 + 1
     h_t = ty1 - ty0 + 1
     area = jnp.where(onscreen, w_t * h_t, 0)
+    if _stage == 'area':  # benchmark probe (binning_stage_tpu.py)
+        return area
 
     sentinel = jnp.int32(n_tiles << depth_bits)
     side = max(1, int(math.isqrt(a_small)))
@@ -245,6 +299,8 @@ def bin_splats(
         ((s_tys * ntx + s_txs) << depth_bits) | rank_q[None, :],
         sentinel,
     )  # [a_small, N]
+    if _stage == 'small_key':
+        return small_key
 
     # -- big bucket: top big_budget splats by area emit (bbox minus core) -----
     # Compaction sorts ONLY (key, index) — 2 operands — and row-gathers the
@@ -263,6 +319,8 @@ def bin_splats(
     b_w, b_h = w_t[b_idx], h_t[b_idx]
     b_rank = rank_q[b_idx]
     b_mx, b_my = mx[b_idx], my[b_idx]
+    if _stage == 'big_compact':
+        return (b_isbig, b_tx0, b_ty0, b_w, b_h, b_rank, b_mx, b_my)
 
     bc_tx0, bc_ty0, bc_w, bc_h = core_window(b_tx0, b_ty0, b_w, b_h, b_mx, b_my)
     # clamp oversized bboxes around the core (same shrink rule, cap a_big)
@@ -296,6 +354,8 @@ def bin_splats(
         ((b_tys * ntx + b_txs) << depth_bits) | b_rank[None, :],
         sentinel,
     )  # [a_big, big_budget]
+    if _stage == 'big_key':
+        return (small_key, big_key)
 
     keys = jnp.concatenate([small_key.reshape(-1), big_key.reshape(-1)])
 
@@ -309,6 +369,8 @@ def bin_splats(
     big_val = jnp.broadcast_to(b_idx[None, :], big_key.shape).reshape(-1)
     vals = jnp.concatenate([small_val, big_val])
     vals = jnp.where(keys == sentinel, n, vals)  # dummy row for invalids
+    if _stage == 'keys_vals':
+        return (keys, vals)
 
     # same-tile splats whose depths agree in the top depth_bits of the float
     # bit pattern produce duplicate keys; the source index rides as a SECOND
@@ -323,6 +385,8 @@ def bin_splats(
     else:
         sorted_key, sorted_src = jax.lax.sort((keys, vals), num_keys=2,
                                               is_stable=False)
+    if _stage == 'sort':
+        return (sorted_key, sorted_src)
     overflow = jnp.asarray(False)
     if entry_cap is not None and entry_cap < sorted_key.shape[0]:
         # static truncation: sentinel (invalid) entries sort PAST every live
@@ -345,10 +409,10 @@ def bin_splats(
     )
     seg_start, seg_end = bounds[:-1], bounds[1:]
 
-    cols = _pack_columns(proj)
-    packed = jnp.stack(cols, axis=1)  # [N, 16]
+    cols = _pack_columns8(proj) if pack8 else _pack_columns(proj)
+    packed = jnp.stack(cols, axis=1)  # [N, PARAM_DIM or PACKED8_DIM]
     packed = jnp.concatenate(
-        [packed, jnp.zeros((1, PARAM_DIM), jnp.float32)], axis=0
+        [packed, jnp.zeros((1, len(cols)), jnp.float32)], axis=0
     )
     # pad the INDICES (a few hundred i32) instead of the [16, M] matrix —
     # index n hits the zero dummy row, so the lane tail is zeros either way

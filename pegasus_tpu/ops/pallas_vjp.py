@@ -79,7 +79,7 @@ def _forward_call(cfg: CompositeCfg, params_t, tile_start, tile_count):
     kernel = functools.partial(
         _composite_kernel,
         tile=cfg.tile, ntx=cfg.ntx, chunk=cfg.chunk,
-        max_objects=cfg.max_objects,
+        max_objects=cfg.max_objects, packed8=False,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

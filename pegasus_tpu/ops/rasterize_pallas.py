@@ -42,6 +42,48 @@ from pegasus_tpu.ops.rasterize_ref import RenderOutputs
 _ALIGN = 128  # lane alignment of DMA windows
 
 
+def _window_fields(p, packed8: bool):
+    """Per-entry field rows ([1, W]; rgb [3, W]) from a parameter window.
+
+    packed8 windows carry 6 f32 rows + 2 bitcast u32 rows (10/14-bit
+    fixed-point: see binning.PACKED8_DIM) — the unpack is a handful of
+    VPU integer ops per window, paid once per chunk against 2x less
+    DMA traffic and a ~40% cheaper entry gather upstream."""
+    if packed8:
+        mx = p[binning.P8_MX : binning.P8_MX + 1, :]
+        my = p[binning.P8_MY : binning.P8_MY + 1, :]
+        ca = p[binning.P8_CA : binning.P8_CA + 1, :]
+        cb = p[binning.P8_CB : binning.P8_CB + 1, :]
+        cc = p[binning.P8_CC : binning.P8_CC + 1, :]
+        depth = p[binning.P8_DEPTH : binning.P8_DEPTH + 1, :]
+        # integer work stays in i32 (Mosaic has no u32->f32 cast); every
+        # extracted field is < 2^14 so the signed view is identical
+        bc = lambda r: jax.lax.bitcast_convert_type(r, jnp.int32)
+        shr = jax.lax.shift_right_logical
+        w_rgb = bc(p[binning.P8_RGB : binning.P8_RGB + 1, :])
+        w_oro = bc(p[binning.P8_ORO : binning.P8_ORO + 1, :])
+        cs = binning.COLOR_MAX / 1023.0
+        red = (w_rgb & 0x3FF).astype(jnp.float32) * cs
+        grn = (shr(w_rgb, 10) & 0x3FF).astype(jnp.float32) * cs
+        blu = (shr(w_rgb, 20) & 0x3FF).astype(jnp.float32) * cs
+        opac = (w_oro & 0x3FFF).astype(jnp.float32) * (1.0 / 16383.0)
+        rad = (shr(w_oro, 14) & 0x3FF).astype(jnp.float32)
+        obj = shr(w_oro, 24).astype(jnp.float32)
+        rgb = jnp.concatenate([red, grn, blu], axis=0)
+    else:
+        mx = p[binning.P_MX : binning.P_MX + 1, :]
+        my = p[binning.P_MY : binning.P_MY + 1, :]
+        ca = p[binning.P_CA : binning.P_CA + 1, :]
+        cb = p[binning.P_CB : binning.P_CB + 1, :]
+        cc = p[binning.P_CC : binning.P_CC + 1, :]
+        opac = p[binning.P_OPAC : binning.P_OPAC + 1, :]
+        rad = p[binning.P_RADIUS : binning.P_RADIUS + 1, :]
+        obj = p[binning.P_OBJ : binning.P_OBJ + 1, :]
+        depth = p[binning.P_DEPTH : binning.P_DEPTH + 1, :]
+        rgb = p[binning.P_R : binning.P_B + 1, :]
+    return mx, my, ca, cb, cc, opac, rad, obj, rgb, depth
+
+
 def _make_cumsum_lanes(w_lanes: int, block: int = 128):
     """Inclusive cumsum along lanes as BLOCKED triangular MXU matmuls.
 
@@ -74,17 +116,18 @@ def _composite_kernel(
     start_ref,  # [n_tiles] i32: first entry of each tile's segment
     count_ref,  # [n_tiles] i32: entry count of each tile
     # inputs
-    params_hbm,  # [16, M_pad] f32, memory_space=ANY
+    params_hbm,  # [ROWS, M_pad] f32, memory_space=ANY
     # outputs
     out_ref,  # [1, PX, F_OUT] f32 VMEM block
     # scratch
-    buf_ref,  # [2, 16, W] f32 VMEM
+    buf_ref,  # [2, ROWS, W] f32 VMEM
     sem_ref,  # DMA semaphores (2,)
     *,
     tile: int,
     ntx: int,
     chunk: int,
     max_objects: int,
+    packed8: bool,
 ):
     i = pl.program_id(0)
     start = start_ref[i]
@@ -137,14 +180,10 @@ def _composite_kernel(
             & (c_i * chunk + (w_ids - off) < count)
         )
 
-        mx = p[binning.P_MX : binning.P_MX + 1, :]  # [1, W]
-        my = p[binning.P_MY : binning.P_MY + 1, :]
-        ca = p[binning.P_CA : binning.P_CA + 1, :]
-        cb = p[binning.P_CB : binning.P_CB + 1, :]
-        cc = p[binning.P_CC : binning.P_CC + 1, :]
-        opac = p[binning.P_OPAC : binning.P_OPAC + 1, :]
-        rad = p[binning.P_RADIUS : binning.P_RADIUS + 1, :]
-        is_env = p[binning.P_ENV : binning.P_ENV + 1, :] > 0.5
+        mx, my, ca, cb, cc, opac, rad, obj, rgb, depth = _window_fields(
+            p, packed8
+        )
+        is_env = obj < 0.5
 
         dx = pxs - mx  # [PX, W]
         dy = pys - my
@@ -160,15 +199,14 @@ def _composite_kernel(
         alphas = jnp.where(keep, alpha, 0.0)
 
         # transposed feature matrix [F, W]: rgb, depth, 1, onehot(K)
-        obj = p[binning.P_OBJ : binning.P_OBJ + 1, :]  # [1, W]
         kl = jax.lax.broadcasted_iota(jnp.int32, (k, w_lanes), 0).astype(
             jnp.float32
         )
         onehot_t = (jnp.abs(kl - obj) < 0.5).astype(jnp.float32)  # [K, W]
         feat_t = jnp.concatenate(
             [
-                p[binning.P_R : binning.P_B + 1, :],  # [3, W]
-                p[binning.P_DEPTH : binning.P_DEPTH + 1, :],
+                rgb,  # [3, W]
+                depth,
                 jnp.ones((1, w_lanes), jnp.float32),
                 onehot_t,
             ],
@@ -208,8 +246,9 @@ def _composite_kernel(
         def env_only(_):
             # channel 0 (environment) of the amodal accumulator still needs
             # this chunk's env contributions; one narrow dot covers it
-            env_col = p[binning.P_ENV : binning.P_ENV + 1, :]
-            d_env = dot_t(log1m, env_col)  # [PX, 1]
+            # (onehot row 0 IS the env indicator: object_id == 0, and
+            # masked lanes contribute 0 via log1m)
+            d_env = dot_t(log1m, onehot_t[0:1, :])  # [PX, 1]
             return (
                 jnp.zeros((px_n, k), jnp.float32),
                 t_ne,
@@ -243,6 +282,7 @@ def composite_tiles_pallas(
     chunk: int = 256,
     interpret: bool = False,
     tiles_per_program: int = 1,
+    packed8: bool = False,
 ) -> RenderOutputs:
     tile = bins.tile
     ntx, nty = bins.n_tiles_x, bins.n_tiles_y
@@ -252,14 +292,16 @@ def composite_tiles_pallas(
     f_out = 5 + 3 * k + 2
     w_lanes = chunk + _ALIGN
 
+    rows = binning.PACKED8_DIM if packed8 else binning.PARAM_DIM
     scratch = [
-        pltpu.VMEM((2, binning.PARAM_DIM, w_lanes), jnp.float32),
+        pltpu.VMEM((2, rows, w_lanes), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if tiles_per_program == 1:
         kernel = functools.partial(
             _composite_kernel,
             tile=tile, ntx=ntx, chunk=chunk, max_objects=max_objects,
+            packed8=packed8,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -286,7 +328,7 @@ def composite_tiles_pallas(
         kernel = functools.partial(
             _composite_kernel_mt,
             tile=tile, ntx=ntx, chunk=chunk, max_objects=max_objects,
-            tiles_per_program=t_per,
+            tiles_per_program=t_per, packed8=packed8,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -350,8 +392,21 @@ def rasterize_pallas(
     entry_cap: int | None = None,
     interpret: bool = False,
     tiles_per_program: int = 4,
+    pack_params: bool | None = None,
 ) -> RenderOutputs:
     """Drop-in alternative to rasterize_reference (same RenderOutputs).
+
+    pack_params=True bins into the 8-row PACKED8 layout (binning.py):
+    the entry gather is the frame's largest single stage at 1M splats
+    and its cost tracks table row bytes, so quantizing color to 10-bit /
+    opacity to 14-bit fixed-point (~66 dB measured parity vs the f32
+    layout, far above the 40 dB gate; radius/object ids pack exactly)
+    cuts it and halves the kernel's DMA stream.  Default (None) enables
+    it only past MEDIUM_SCENE_SPLATS, where the gather dominates:
+    measured on v5e 1M: 32.9 -> 36.7 fps; 210k: 81.7 -> 80.6 (small
+    scenes lose slightly to the unpack ALU, so they keep f32 rows).
+    Differentiable use goes through ops/pallas_vjp.py, which keeps the
+    16-row f32 layout.
 
     Binning budgets default by SPLAT COUNT (static at trace time): the
     sort length is num_splats * a_small + big_budget * a_big, and at
@@ -365,6 +420,8 @@ def rasterize_pallas(
     amortize DMA latency and multi-tile programs hide the next tile's
     first-window fetch under the previous tile's tail.
     """
+    if pack_params is None:
+        pack_params = cloud.num_splats > MEDIUM_SCENE_SPLATS
     if a_small is None:
         a_small = 2 if cloud.num_splats > LARGE_SCENE_SPLATS else 4
     if big_budget is None:
@@ -402,6 +459,7 @@ def rasterize_pallas(
         proj, cam.width, cam.height, tile=tile,
         a_small=a_small, big_budget=min(big_budget, cloud.num_splats),
         a_big=a_big, lane_pad=chunk + 2 * _ALIGN, entry_cap=entry_cap,
+        pack8=pack_params,
     )
     return composite_tiles_pallas(
         bins,
@@ -412,6 +470,7 @@ def rasterize_pallas(
         chunk=chunk,
         interpret=interpret,
         tiles_per_program=tiles_per_program,
+        packed8=pack_params,
     )
 
 
@@ -420,11 +479,11 @@ def _composite_kernel_mt(
     start_ref,  # [n_tiles_pad] i32
     count_ref,  # [n_tiles_pad] i32
     # inputs
-    params_hbm,  # [16, M_pad] f32, memory_space=ANY
+    params_hbm,  # [ROWS, M_pad] f32, memory_space=ANY
     # outputs
     out_ref,  # [T_PER, PX, F_OUT] f32 VMEM block
     # scratch
-    buf_ref,  # [2, 16, W] f32 VMEM
+    buf_ref,  # [2, ROWS, W] f32 VMEM
     sem_ref,  # DMA semaphores (2,)
     *,
     tile: int,
@@ -432,6 +491,7 @@ def _composite_kernel_mt(
     chunk: int,
     max_objects: int,
     tiles_per_program: int,
+    packed8: bool,
 ):
     """Multi-tile variant: one program composites `tiles_per_program`
     consecutive tiles with a single software-pipelined DMA stream, so the
@@ -511,14 +571,10 @@ def _composite_kernel_mt(
             & (c_i * chunk + (w_ids - off) < count)
         )
 
-        mx = p[binning.P_MX : binning.P_MX + 1, :]
-        my = p[binning.P_MY : binning.P_MY + 1, :]
-        ca = p[binning.P_CA : binning.P_CA + 1, :]
-        cb = p[binning.P_CB : binning.P_CB + 1, :]
-        cc = p[binning.P_CC : binning.P_CC + 1, :]
-        opac = p[binning.P_OPAC : binning.P_OPAC + 1, :]
-        rad = p[binning.P_RADIUS : binning.P_RADIUS + 1, :]
-        is_env = p[binning.P_ENV : binning.P_ENV + 1, :] > 0.5
+        mx, my, ca, cb, cc, opac, rad, obj, rgb, depth = _window_fields(
+            p, packed8
+        )
+        is_env = obj < 0.5
 
         dx = pxs - mx
         dy = pys - my
@@ -533,12 +589,11 @@ def _composite_kernel_mt(
         )
         alphas = jnp.where(keep, alpha, 0.0)
 
-        obj = p[binning.P_OBJ : binning.P_OBJ + 1, :]
         onehot_t = (jnp.abs(kl - obj) < 0.5).astype(jnp.float32)
         feat_t = jnp.concatenate(
             [
-                p[binning.P_R : binning.P_B + 1, :],
-                p[binning.P_DEPTH : binning.P_DEPTH + 1, :],
+                rgb,
+                depth,
                 jnp.ones((1, w_lanes), jnp.float32),
                 onehot_t,
             ],
@@ -572,8 +627,8 @@ def _composite_kernel_mt(
             )
 
         def env_only(_):
-            env_col = p[binning.P_ENV : binning.P_ENV + 1, :]
-            d_env = dot_t(log1m, env_col)
+            # onehot row 0 is the env indicator; masked lanes drop via log1m
+            d_env = dot_t(log1m, onehot_t[0:1, :])
             return (
                 jnp.zeros((px_n, k), jnp.float32),
                 t_ne,
