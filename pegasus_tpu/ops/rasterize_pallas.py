@@ -232,8 +232,10 @@ def _composite_kernel(
         has_obj = jnp.any((~is_env) & entry_ok & (alphas > 0.0))
 
         def with_objects(_):
+            # log1p(-where(env, 0, a)) == where(env, 0, log1p(-a)):
+            # reuse the full pass's log1m instead of a second log1p
             alphas_ne = jnp.where(is_env, 0.0, alphas)
-            log1m_ne = jnp.log1p(-alphas_ne)
+            log1m_ne = jnp.where(is_env, 0.0, log1m)
             excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne)
             w_ne = alphas_ne * excl_ne * t_ne
             acc_ne = dot_t(w_ne, onehot_t)  # [PX, K]
@@ -616,8 +618,10 @@ def _composite_kernel_mt(
         has_obj = jnp.any((~is_env) & entry_ok & (alphas > 0.0))
 
         def with_objects(_):
+            # log1p(-where(env, 0, a)) == where(env, 0, log1p(-a)):
+            # reuse the full pass's log1m instead of a second log1p
             alphas_ne = jnp.where(is_env, 0.0, alphas)
-            log1m_ne = jnp.log1p(-alphas_ne)
+            log1m_ne = jnp.where(is_env, 0.0, log1m)
             excl_ne = jnp.exp(cumsum_lanes(log1m_ne) - log1m_ne)
             w_ne = alphas_ne * excl_ne * t_ne
             return (
