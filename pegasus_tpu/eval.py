@@ -96,7 +96,18 @@ def te(t_est, t_gt) -> float:
 
 def render_mesh_depth(mesh, R, t, K, width: int, height: int) -> np.ndarray:
     """Z-buffer depth image (meters*input-units, 0 = background) of a
-    TriMesh posed by x_cam = R x + t and projected by K."""
+    TriMesh posed by x_cam = R x + t and projected by K.
+
+    Dispatches to the native renderer (csrc/zbuffer.cpp — the analog of
+    bop_toolkit's renderer_cpp) when it loads; the NumPy loop below is
+    the portable reference with identical semantics."""
+    from pegasus_tpu.io import zbuffer as _zb
+
+    native = _zb.render_depth(
+        mesh.vertices, mesh.faces, R, t, K, width, height
+    )
+    if native is not None:
+        return native
     K = np.asarray(K, np.float64)
     cam = _transform(R, t, mesh.vertices)  # [V, 3]
     z = cam[:, 2]

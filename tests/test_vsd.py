@@ -126,3 +126,33 @@ def test_vsd_agrees_with_bop_toolkit_logic():
             (costs.sum() + union.sum() - inter.sum()) / float(union.sum())
         )
     np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_native_zbuffer_matches_numpy_reference():
+    """csrc/zbuffer.cpp must reproduce the NumPy z-buffer to the ulp
+    (same bbox / inclusive-edge / perspective-correct-1/z rules)."""
+    import pegasus_tpu.io.zbuffer as zb
+
+    if not zb.available():
+        pytest.skip("no native zbuffer (compiler unavailable)")
+
+    rng = np.random.default_rng(3)
+    mesh = _box_mesh()
+    for _ in range(4):
+        axis = rng.normal(size=3)
+        axis /= np.linalg.norm(axis)
+        ang = rng.uniform(0, np.pi)
+        kx, ky, kz = axis
+        Km = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]])
+        R = np.eye(3) + np.sin(ang) * Km + (1 - np.cos(ang)) * Km @ Km
+        t = np.array([rng.uniform(-20, 20), rng.uniform(-15, 15),
+                      rng.uniform(300, 600)])
+        native = zb.render_depth(mesh.vertices, mesh.faces, R, t, K, W, H)
+        assert native is not None
+        lib, failed = zb._LIB, zb._LIB_FAILED
+        zb._LIB, zb._LIB_FAILED = None, True  # force the NumPy path
+        try:
+            ref = render_mesh_depth(mesh, R, t, K, W, H)
+        finally:
+            zb._LIB, zb._LIB_FAILED = lib, failed
+        np.testing.assert_allclose(native, ref, rtol=1e-12, atol=1e-12)
