@@ -111,3 +111,46 @@ def test_entry_cap_overflow_flag(rng):
         lambda p: bin_splats(p, 64, 64, entry_cap=n_live - 8).overflow
     )
     assert bool(jf(proj))
+
+
+def test_packed8_roundtrip_bounds(rng):
+    """PACKED8 encode/decode: radius and object id are EXACT; color and
+    opacity quantization errors are bounded by half an LSB."""
+    import jax
+    import jax.numpy as jnp
+
+    from pegasus_tpu.ops import binning
+    from pegasus_tpu.ops.projection import project_gaussians
+
+    env = make_plane_cloud(rng, n=400, size=1.0)
+    box = make_box_cloud(rng, n=200, center=(0, 0, 0.08), object_id=3)
+    scene = merge([env, box])
+    cam = Camera.look_at(
+        eye=(0.4, 0.3, 0.5), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(45), width=64, height=64,
+    )
+    proj = project_gaussians(scene, cam)
+    cols = binning._pack_columns8(proj)
+    assert len(cols) == binning.PACKED8_DIM
+
+    # f32 rows pass through untouched
+    np.testing.assert_array_equal(cols[binning.P8_MX], np.asarray(proj.mean_x))
+    np.testing.assert_array_equal(cols[binning.P8_DEPTH], np.asarray(proj.depth))
+
+    shr = jax.lax.shift_right_logical
+    w_rgb = jax.lax.bitcast_convert_type(cols[binning.P8_RGB], jnp.int32)
+    w_oro = jax.lax.bitcast_convert_type(cols[binning.P8_ORO], jnp.int32)
+    cs = binning.COLOR_MAX / 1023.0
+    red = np.asarray((w_rgb & 0x3FF), np.float32) * cs
+    opac = np.asarray((w_oro & 0x3FFF), np.float32) / 16383.0
+    rad = np.asarray(shr(w_oro, 14) & 0x3FF, np.float32)
+    obj = np.asarray(shr(w_oro, 24), np.float32)
+
+    r_ref = np.clip(np.asarray(proj.color_r), 0.0, binning.COLOR_MAX)
+    assert np.abs(red - r_ref).max() <= 0.5 * cs + 1e-7
+    o_ref = np.clip(np.asarray(proj.opacity), 0.0, 1.0)
+    assert np.abs(opac - o_ref).max() <= 0.5 / 16383.0 + 1e-7
+    np.testing.assert_array_equal(
+        rad, np.minimum(np.asarray(proj.radius), 1023.0)
+    )
+    np.testing.assert_array_equal(obj, np.asarray(proj.object_id))
