@@ -56,7 +56,7 @@ def test_wire_roundtrip():
     ng.init("127.0.0.1", 0)
     port = ng.listener.getsockname()[1]
 
-    client = socket.create_connection(("127.0.0.1", port), timeout=5)
+    client = socket.create_connection(("127.0.0.1", port), timeout=60)
     ng.try_connect()
     assert ng.conn is not None
 
@@ -116,7 +116,7 @@ def test_viewer_serves_renders(tmp_path):
     client = None
     for _ in range(100):
         try:
-            client = socket.create_connection(("127.0.0.1", port), timeout=5)
+            client = socket.create_connection(("127.0.0.1", port), timeout=60)
             break
         except OSError:
             import time
@@ -144,7 +144,7 @@ def test_viewer_serves_renders(tmp_path):
         assert verify == str(ply)
     # then release the server loop
     client.close()
-    th.join(timeout=30)
+    th.join(timeout=120)
     assert result.get("served") == 2
     # the box is red-ish and visible
     assert imgs[0].mean() > 1
@@ -180,7 +180,7 @@ def test_publish2gui_serves_during_generation(tmp_path):
             publish2gui=True, QUIET=True,
         )
         port = ng.listener.getsockname()[1]
-        client = socket.create_connection(("127.0.0.1", port), timeout=10)
+        client = socket.create_connection(("127.0.0.1", port), timeout=60)
         # queue one camera request BEFORE the frame loop polls
         w, h = 32, 24
         R_w2c = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
@@ -199,7 +199,7 @@ def test_publish2gui_serves_during_generation(tmp_path):
         pegasus.generate_dataset(["rgb"], save_bop=True, save_video=False)
         pegasus.save2bop()
 
-        client.settimeout(15)
+        client.settimeout(120)
         img, verify = _client_read_frame(client, w, h)
         assert img.shape == (h, w, 3)
         assert verify == str(root)
