@@ -13,6 +13,7 @@ Key differences (deliberate, documented):
   * dynamic-mode ground truth records the pose AT EACH FRAME's timestep —
     the reference freezes R_init/t_init at timestep 0 and writes that for
     every dynamic frame (pegasus_setup.py:160-193 never updates them);
+    pass ``freeze_dynamic_gt_pose=True`` for bit-exact reference behavior;
   * masks come from exact per-object compositing weights, not 0.1
     color-distance decoding.
 """
@@ -73,6 +74,9 @@ class PEGASUS:
         QUIET: bool = False,
         publish2gui: bool = False,  # serve frames to a SIBR viewer (TCP)
         frame_chunk: int = 8,  # frames per dispatch/readback (1 = per-frame)
+        freeze_dynamic_gt_pose: bool = False,  # reference quirk: dynamic
+        # scene_gt keeps the t=0 pose for every frame (pegasus.py:360-365
+        # always writes R_init/t_init set at pegasus_setup.py:160-176)
     ):
         self.dataset_path = dataset_path
         self.env_dataset_path = env_dataset_path or dataset_path
@@ -100,6 +104,7 @@ class PEGASUS:
         self.rasterize_fn = rasterize_fn
         self.QUIET = QUIET
         self.frame_chunk = max(1, int(frame_chunk))
+        self.freeze_dynamic_gt_pose = freeze_dynamic_gt_pose
 
         # Preload GS clouds + COLMAP poses once (reference: pegasus.py:89-117)
         self.gaussian_environment_pre_load: Dict[str, dict] = {}
@@ -533,6 +538,14 @@ class PEGASUS:
             fut = readers.submit(np.asarray, packed)
             return (fut, poses_fut, per_frame_pose, idxs)
 
+        # reference-quirk compat: dynamic scene_gt frozen at the initial
+        # timestep (the render still follows the trajectory)
+        frozen_gt = (
+            tuple(np.asarray(a) for a in self._body_poses_at(self._initial_step))
+            if (self.mode == "dynamic" and self.freeze_dynamic_gt_pose)
+            else None
+        )
+
         inflight = [dispatch(ci) for ci in range(min(DEPTH, n_chunks))]
         next_ci = len(inflight)
         progress = tqdm.tqdm(total=n_frames, disable=self.QUIET)
@@ -578,12 +591,16 @@ class PEGASUS:
                         mask_visib=mask_visib if "seg_vis" in data_points else None,
                         sem_mask=sem_u8 if "sem_seg" in data_points else None,
                     )
+                    gt_R, gt_t = (
+                        frozen_gt if frozen_gt is not None
+                        else (body_R_np, body_t_np)
+                    )
                     object_poses = [
                         {
                             "bullet_id": bid,
                             "obj_id": self.bullet_to_real_id.get(bid, bid),
-                            "R_init": body_R_np[bid],
-                            "t_init": body_t_np[bid],
+                            "R_init": gt_R[bid],
+                            "t_init": gt_t[bid],
                         }
                         for bid in self.bullet_ids
                     ]

@@ -225,6 +225,43 @@ def test_dynamic_gt_tracks_motion(synthetic_root, tmp_path):
     assert np.linalg.norm(t3 - t0) > 1e-4
 
 
+def test_dynamic_gt_freeze_compat(synthetic_root, tmp_path):
+    """freeze_dynamic_gt_pose=True reproduces the reference quirk: every
+    dynamic frame's scene_gt carries the t=0 pose (pegasus.py:360-365
+    always writes the R_init/t_init set at pegasus_setup.py:160-176)."""
+    env, objs = _assets(synthetic_root)
+    out = tmp_path / "out"
+    pegasus = PEGASUS(
+        dataset_path=str(synthetic_root),
+        env_dataset_path=str(synthetic_root),
+        urdf_asset_folder=str(synthetic_root / "urdf"),
+        gs_env_list=[env],
+        gs_object_list=objs,
+        render_height=40,
+        render_width=48,
+        num_cameras=1,
+        simulation_steps=80,
+        num_camera_interpolation_steps=4,
+        mode="dynamic",
+        camera_trajectory_mode="sequence",
+        dataset_base_path=str(out),
+        seed=9,
+        freeze_dynamic_gt_pose=True,
+    )
+    name = "dyn_gt_frozen"
+    pegasus.init_bullet([env], objs, name, 1, 1, 1, random=False)
+    pegasus.init(name, 1)
+    pegasus.init_start_position()
+    pegasus.generate_dataset(["rgb", "depth"], save_bop=True, save_video=False)
+    pegasus.save2bop()
+
+    with open(out / name / "train" / "000001" / "scene_gt.json") as f:
+        gt = json.load(f)
+    t0 = np.asarray(gt["0"][0]["T_m2w"]).reshape(4, 4)
+    t3 = np.asarray(gt["3"][0]["T_m2w"]).reshape(4, 4)
+    np.testing.assert_allclose(t3, t0, atol=1e-12)
+
+
 def test_splat_budget_static_shapes(synthetic_root, tmp_path):
     """splat_budget pads every scene to one static cloud size, so varying
     object subsets reuse ONE compiled render program."""
