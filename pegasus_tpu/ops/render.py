@@ -169,7 +169,6 @@ class FrameEncoded(NamedTuple):
     depth_mm_u16: jnp.ndarray  # [H, W] uint16 millimeters (BOP)
     mask_visib: jnp.ndarray  # [H, W, K] bool
     mask_amodal: jnp.ndarray  # [H, W, K] bool
-    sem_u8: jnp.ndarray  # [H, W, 3] uint8
     depth_m: jnp.ndarray  # [H, W] float meters (video stream)
 
 
@@ -181,9 +180,6 @@ def encode_frame(frame: FrameDataPoints) -> FrameEncoded:
         ),
         mask_visib=frame.mask_visib,
         mask_amodal=frame.mask_amodal,
-        sem_u8=jnp.clip(frame.seg_image * 255.0 + 0.5, 0, 255).astype(
-            jnp.uint8
-        ),
         depth_m=frame.depth,
     )
 
@@ -199,14 +195,18 @@ def _packbits(masks: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_frame_bytes(enc: FrameEncoded) -> jnp.ndarray:
-    """Pack an encoded frame into ONE uint8 tensor [H, W, 8 + ceil(2K/8)].
+    """Pack an encoded frame into ONE uint8 tensor [H, W, 5 + ceil(2K/8)].
 
     High-latency / low-bandwidth device->host links (tunneled TPUs; even
     PCIe under load) charge per transfer AND per byte: everything rides one
     tensor, and the 2K boolean mask planes are bit-packed (they are 1-bit
-    PNGs on disk anyway).  Channel layout:
-      0:3 rgb, 3:6 sem, 6:8 depth_mm (lo, hi bytes),
-      8: bit-packed [visib_0..K-1, amodal_0..K-1].
+    PNGs on disk anyway).  The semantic color image is NOT shipped: it is
+    exactly palette[k] wherever visib mask k is set (weights sum to <= 1,
+    so at most one channel crosses the 0.9 threshold), so the host
+    reconstructs it from the visib bits for free — a 3-byte/pixel (~33%)
+    readback cut.  Channel layout:
+      0:3 rgb, 3:5 depth_mm (lo, hi bytes),
+      5: bit-packed [visib_0..K-1, amodal_0..K-1].
     """
     d = enc.depth_mm_u16
     lo = (d & 0xFF).astype(jnp.uint8)
@@ -217,7 +217,6 @@ def pack_frame_bytes(enc: FrameEncoded) -> jnp.ndarray:
     return jnp.concatenate(
         [
             enc.rgb_u8,
-            enc.sem_u8,
             lo[..., None],
             hi[..., None],
             bits,
@@ -226,8 +225,14 @@ def pack_frame_bytes(enc: FrameEncoded) -> jnp.ndarray:
     )
 
 
-def unpack_frame_bytes(buf, k: int):
+def unpack_frame_bytes(buf, k: int, palette=None):
     """Inverse of pack_frame_bytes on a host numpy array.
+
+    ``palette`` is the [K, 3] semantic color set in [0, 1] (the same array
+    given to ``render_frame``); when provided, the semantic color image is
+    reconstructed host-side from the visib masks (flat palette color where
+    the object is visible, black elsewhere — the modality's defined
+    semantics; see ``pack_frame_bytes``).
 
     Returns dict(rgb_u8, sem_u8, depth_mm, depth_m, mask_visib, mask_amodal).
     """
@@ -235,14 +240,23 @@ def unpack_frame_bytes(buf, k: int):
 
     buf = np.asarray(buf)
     rgb = buf[..., 0:3]
-    sem = buf[..., 3:6]
-    depth_mm = buf[..., 6].astype(np.uint16) | (
-        buf[..., 7].astype(np.uint16) << 8
+    depth_mm = buf[..., 3].astype(np.uint16) | (
+        buf[..., 4].astype(np.uint16) << 8
     )
-    packed = buf[..., 8:]
+    packed = buf[..., 5:]
     bits = np.unpackbits(packed, axis=-1, bitorder="little")[..., : 2 * k]
     visib = bits[..., :k].astype(bool)
     amodal = bits[..., k : 2 * k].astype(bool)
+    if palette is None:
+        sem = np.zeros(rgb.shape[:-1] + (3,), np.uint8)
+    else:
+        pal_u8 = np.clip(
+            np.asarray(palette, np.float32)[:k] * 255.0 + 0.5, 0, 255
+        ).astype(np.uint8)
+        # masks are mutually exclusive per pixel -> plain sum is exact
+        sem = np.tensordot(
+            visib.astype(np.uint8), pal_u8, axes=([-1], [0])
+        ).astype(np.uint8)
     return {
         "rgb_u8": rgb,
         "sem_u8": sem,

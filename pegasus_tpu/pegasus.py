@@ -555,7 +555,9 @@ class PEGASUS:
             if next_ci < n_chunks:
                 inflight.append(dispatch(next_ci))
                 next_ci += 1
-            data = unpack_frame_bytes(fut.result(), n_objects)
+            data = unpack_frame_bytes(
+                fut.result(), n_objects, palette=self.semantic_colors
+            )
             poses_np = poses_fut.result()
             if self.publish2gui:
                 if per_frame_pose:
