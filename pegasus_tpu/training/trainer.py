@@ -227,11 +227,22 @@ class GSTrainer:
 
         return loss, aux, jax.tree.map(mask_grad, param_grads), offset_grad
 
-    @staticmethod
-    def _densify_stats(offset_grad):
+    def _densify_stats(self, offset_grad):
         """Per-view screen-gradient norm + visibility indicator
-        (reference: gaussian_model.py:453-456 accumulates PER VIEW)."""
-        g2d = jnp.linalg.norm(offset_grad, axis=-1)
+        (reference: gaussian_model.py:453-456 accumulates PER VIEW).
+
+        The offset is injected in PIXEL coordinates (projection.py emits
+        pixel-space means), but the Inria densify threshold (2e-4) is
+        calibrated for gradients w.r.t. NDC means — its CUDA backward
+        returns dL/d(ndc) = dL/d(pixel) * [W/2, H/2] (ndc2Pix chain).
+        Without this conversion the statistic is ~W/2 too small AND
+        resolution-dependent: at 256^2+ nothing ever crosses the
+        threshold and densification never fires (the r03 1-Mpx run ended
+        with 24k of 200k slots alive)."""
+        scale = jnp.asarray(
+            [self.width * 0.5, self.height * 0.5], jnp.float32
+        )
+        g2d = jnp.linalg.norm(offset_grad * scale, axis=-1)
         visible = g2d > 0
         return jnp.where(visible, g2d, 0.0), visible.astype(jnp.float32)
 
