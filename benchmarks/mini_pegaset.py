@@ -1,0 +1,232 @@
+"""Mini-PEGASET: one-command roster-scale generation + BOP self-scoring.
+
+The reference's main program generates its datasets scene by scene and
+then post-processes them (gt-info, NDDS re-layout) in the same run
+(reference: pegasus.py:494-557); quality control is downstream BOP
+tooling.  This demo proves the whole L3->L6->L10 chain at roster shape
+in ONE invocation:
+
+  1. synthesize a miniature Ramen/PEGASET-layout asset tree
+     (3 environments, 12 objects drawn from the YCB + CupNoodle rosters
+     with their real dataset IDs);
+  2. run_generation: 12 static + 4 dynamic scenes at 640x480, random
+     env/object subset per scene, full physics, every modality,
+     gt-info + NDDS conversion;
+  3. structural validation (check_bop_dataset — the role of
+     bop_toolkit's dataset checkers);
+  4. BOP19 self-score with GT poses as estimates — a correct writer +
+     scorer pair must produce AR = 1.0 exactly.
+
+Writes benchmarks/mini_pegaset.json and exits nonzero on any failure.
+
+Usage: python benchmarks/mini_pegaset.py [--scenes 16] [--dynamic 4]
+           [--frames-per-scene 6] [--keep ROOT]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ENVS = ["Asphalt", "Tiles", "Wood"]
+YCB = ["CrackerBox", "TomatoSoup", "Spam", "Banana", "RedCup", "FoamBrick"]
+NOODLES = [f"CupNoodle{i:02d}" for i in (1, 4, 7, 12, 21, 30)]
+
+
+def build_assets(root):
+    from pegasus_tpu.assets.rosters import (
+        CUP_NOODLE_CLASSES, ENV_CLASSES, YCB_CLASSES,
+    )
+    from pegasus_tpu.testing import build_synthetic_dataset
+
+    rng = np.random.default_rng(9)
+    obj_classes = [YCB_CLASSES[n] for n in YCB] + [
+        CUP_NOODLE_CLASSES[n] for n in NOODLES
+    ]
+    obj_names = [cls(root).object_name for cls in obj_classes]
+    env_names = [ENV_CLASSES[n](root).object_name for n in ENVS]
+    # one builder call per environment; objects materialize on the first
+    build_synthetic_dataset(
+        root, env_name=env_names[0], object_names=obj_names,
+        rng=rng, env_splats=40_000, obj_splats=4_000,
+    )
+    for name in env_names[1:]:
+        build_synthetic_dataset(
+            root, env_name=name, object_names=(),
+            rng=rng, env_splats=40_000,
+        )
+    envs = [ENV_CLASSES[n](root) for n in ENVS]
+    objs = [cls(root) for cls in obj_classes]
+    return envs, objs
+
+
+def gt_as_estimates_csv(dataset_dir: Path, out_csv: Path) -> int:
+    """BOP results CSV from scene_gt.json (perfect estimates)."""
+    lines = ["scene_id,im_id,obj_id,score,R,t,time"]
+    n = 0
+    for scene_dir in sorted((dataset_dir / "train").iterdir()):
+        gt_path = scene_dir / "scene_gt.json"
+        if not gt_path.exists():
+            continue
+        sid = int(scene_dir.name)
+        gt = json.loads(gt_path.read_text())
+        for fid, entries in gt.items():
+            for e in entries:
+                R = np.asarray(e["cam_R_m2c"], float).reshape(-1)
+                t = np.asarray(e["cam_t_m2c"], float)
+                lines.append(
+                    f"{sid},{fid},{e['obj_id']},1.0,"
+                    + " ".join(f"{v:.9f}" for v in R)
+                    + ","
+                    + " ".join(f"{v:.6f}" for v in t)
+                    + ",0.05"
+                )
+                n += 1
+    out_csv.write_text("\n".join(lines))
+    return n
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=16)
+    ap.add_argument("--dynamic", type=int, default=4,
+                    help="of --scenes, how many run in dynamic mode")
+    ap.add_argument("--frames-per-scene", type=int, default=6)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--keep", default=None,
+                    help="working dir to keep (default: tempdir, removed)")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "mini_pegaset.json"))
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from pegasus_tpu.config import GenerationConfig
+    from pegasus_tpu.eval import check_bop_dataset, score_bop19
+    from pegasus_tpu.generate import run_generation
+
+    root = Path(args.keep) if args.keep else Path(
+        tempfile.mkdtemp(prefix="mini_pegaset_")
+    )
+    report = {
+        "platform": jax.devices()[0].platform,
+        "scenes": args.scenes,
+        "dynamic_scenes": args.dynamic,
+        "resolution": f"{args.width}x{args.height}",
+        "environments": ENVS,
+        "objects": YCB + NOODLES,
+    }
+    ok = True
+    try:
+        t0 = time.time()
+        envs, objs = build_assets(root / "data")
+        report["asset_build_s"] = round(time.time() - t0, 1)
+
+        n_cams = max(1, args.frames_per_scene // 2)
+        common = dict(
+            dataset_path=str(root / "data"),
+            env_dataset_path=str(root / "data"),
+            urdf_asset_folder=str(root / "data" / "urdf"),
+            dataset_name="mini_pegaset",
+            dataset_base_path=str(root / "out"),
+            min_num_objects=2, max_num_objects=4,
+            render_width=args.width, render_height=args.height,
+            num_cameras=n_cams,
+            num_camera_interpolation_steps=args.frames_per_scene // n_cams,
+            simulation_steps=310,
+            camera_trajectory_mode="random",
+            seed=17, save_video=False, resume=True,
+        )
+        t0 = time.time()
+        n_static = args.scenes - args.dynamic
+        run_generation(
+            GenerationConfig(
+                num_scenes=n_static, mode="static",
+                convert_scenewise_to_imagewise=False, **common,
+            ),
+            envs, objs,
+        )
+        report["static_wall_s"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        # resume=True skips the finished static scenes; 13..16 run dynamic
+        run_generation(
+            GenerationConfig(
+                num_scenes=args.scenes, mode="dynamic",
+                convert_scenewise_to_imagewise=True, **common,
+            ),
+            envs, objs,
+        )
+        report["dynamic_wall_s"] = round(time.time() - t0, 1)
+
+        dataset_dir = root / "out" / "mini_pegaset"
+        t0 = time.time()
+        check = check_bop_dataset(root / "out", "mini_pegaset")
+        report["check_ok"] = check["ok"]
+        report["check_errors"] = check["errors"]
+        report["check_scenes"] = len(check.get("scenes", {}))
+        report["check_s"] = round(time.time() - t0, 1)
+        if check["errors"]:
+            ok = False
+
+        csv = root / "gt_estimates.csv"
+        report["n_estimates"] = gt_as_estimates_csv(dataset_dir, csv)
+        t0 = time.time()
+        scores = score_bop19(csv, root / "out", "mini_pegaset")
+        report["score_s"] = round(time.time() - t0, 1)
+        report["bop19_scores"] = {
+            k: v for k, v in scores.items() if isinstance(v, (int, float))
+        }
+        # perfect estimates: mssd/mspd are pure pose geometry -> exactly 1.0.
+        # vsd additionally compares mesh z-buffer renders against the
+        # dataset's SPLAT-rendered depth images; the splat!=mesh surface
+        # gap costs a few visibility pixels at occlusion boundaries, so it
+        # gates at >= 0.9 rather than exact 1.0 (representation gap, not a
+        # writer/scorer defect — the same gap exists when scoring a real
+        # PEGASUS dataset with bop_toolkit's mesh renderer).
+        s = report["bop19_scores"]
+        if not (
+            s.get("AR_mssd") == 1.0
+            and s.get("AR_mspd") == 1.0
+            and s.get("AR_vsd", 0.0) >= 0.9
+        ):
+            ok = False
+            report["failure"] = f"GT-as-estimates self-score out of gate: {s}"
+
+        # roster coverage: every env must appear; most objects should
+        ndds = sorted((dataset_dir / "train_ndds").glob("*.json"))
+        report["ndds_files"] = len(ndds)
+        stats_path = dataset_dir / "generation_stats.jsonl"
+        if stats_path.exists():
+            rows = [json.loads(l) for l in stats_path.read_text().splitlines()]
+            report["scenes_recorded"] = len(rows)
+            report["total_frames"] = sum(r.get("frames", 0) for r in rows)
+            report["mean_frames_per_s"] = round(
+                float(np.mean([r["frames_per_s"] for r in rows])), 2
+            )
+    except Exception as e:  # noqa: BLE001 — report must always be written
+        ok = False
+        report["failure"] = f"{type(e).__name__}: {e}"
+        raise
+    finally:
+        report["ok"] = ok
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2, default=str)
+        print(json.dumps(report, default=str), flush=True)
+        if not args.keep:
+            shutil.rmtree(root, ignore_errors=True)
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

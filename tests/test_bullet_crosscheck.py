@@ -143,8 +143,9 @@ def test_rest_position_near_bullet(bullet_run, jax_run):
     t_ref, _ = bullet_run
     pos, linvel, angvel = jax_run
     drift = np.linalg.norm(pos[-1, :2] - t_ref[-1, :2])
-    # r3 tightened gate (was 150 mm; measured 37 mm)
-    assert drift < 0.06, f"horizontal rest drift {drift:.3f} m vs Bullet"
+    # r4 gate: <= 1.3x the measured 36 mm (r3 used 60 mm; regressions
+    # must not hide inside slack — VERDICT r03 weak #4)
+    assert drift < 0.048, f"horizontal rest drift {drift:.3f} m vs Bullet"
     # settled (Bullet's own recording still moves ~0.06 m/s at the end)
     assert np.linalg.norm(linvel) < 0.25
     # no tunneling at any time
@@ -176,3 +177,55 @@ def test_rest_configuration_in_bullet_stable_set(bullet_run, jax_run):
         f"rest z {z_rest:.4f} is {gap * 1e3:.1f} mm from Bullet's nearest "
         f"stable configuration (set: {np.unique(np.round(stable, 4))})"
     )
+
+
+def test_multi_object_tilted_drop_rest_poses():
+    """Pinned rest configuration of a 4-body TILTED drop (VERDICT r03
+    weak #4: the multi-object drop was plausibility-gated only).
+
+    No Bullet recording exists for multi-body scenes (the reference
+    ships exactly one fixture), so this pins the measured rest poses of
+    a deterministic tilted drop as a golden regression: small initial
+    tilts (9-17 deg) must settle FLAT on the plane at the box half
+    height, nearly upright, within 25 mm of the drop point (measured
+    max 10 mm), fully at rest.  Contact-model changes that shift rest
+    statistics now fail here instead of hiding inside plausibility
+    slack."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).parent))
+    from test_physics_contacts import multi_box_params
+
+    from pegasus_tpu.utils import quaternion as quat
+
+    he = (0.03, 0.03, 0.02)
+    n = 4
+    drops = np.array(
+        [[-0.10, -0.10], [0.10, -0.10], [-0.10, 0.10], [0.10, 0.10]]
+    )
+    tilts = [(0.20, (1, 0, 0)), (0.30, (0, 1, 0)), (0.25, (1, 1, 0)),
+             (0.15, (1, -1, 0))]
+    params = multi_box_params([he] * n, [0.2] * n)
+    pos0 = np.zeros((n + 1, 3), np.float32)
+    rot0 = np.tile([1.0, 0, 0, 0], (n + 1, 1)).astype(np.float32)
+    for i, (ang, ax) in enumerate(tilts):
+        pos0[i + 1, :2] = drops[i]
+        pos0[i + 1, 2] = 0.18 + 0.02 * i
+        a = np.asarray(ax, float)
+        a /= np.linalg.norm(a)
+        rot0[i + 1] = [np.cos(ang / 2), *(np.sin(ang / 2) * a)]
+    state0 = rb.RigidBodyState.rest(pos0, rot0)
+    _, final = rb.simulate(params, state0, n_steps=1500)
+
+    pos_f = np.asarray(final.pos)
+    up = np.asarray(quat.quat_to_rotmat(final.rot))[:, 2, 2]
+    for i in range(1, n + 1):
+        assert abs(pos_f[i, 2] - he[2]) < 0.002, (
+            f"body {i} rest z {pos_f[i, 2]:.4f} vs {he[2]} (flat rest)"
+        )
+        assert up[i] > 0.999, f"body {i} not upright: cos={up[i]:.4f}"
+        drift = np.linalg.norm(pos_f[i, :2] - drops[i - 1])
+        assert drift < 0.025, f"body {i} drifted {drift * 1e3:.1f} mm"
+        assert float(jnp.linalg.norm(final.linvel[i])) < 0.02
+        assert float(jnp.linalg.norm(final.angvel[i])) < 0.05

@@ -159,7 +159,9 @@ def test_multi_object_drop_tight_rest_gates():
             f"body {i} rest z {pos_f[i, 2]:.4f} vs {he[2]}"
         )
         drift = np.linalg.norm(pos_f[i, :2] - drops[i - 1])
-        assert drift < 0.060, f"body {i} drifted {drift * 1e3:.0f} mm"
+        # r4: flat symmetric drops measure 0 mm drift; 20 mm of slack is
+        # plenty (was 60 mm)
+        assert drift < 0.020, f"body {i} drifted {drift * 1e3:.0f} mm"
         assert float(jnp.linalg.norm(final.linvel[i])) < 0.15
 
     # pairwise non-penetration at rest
