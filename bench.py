@@ -62,6 +62,7 @@ def _parity_gate(scene, cam, fast_render):
         report[f"{name}_psnr_db"] = psnr_db(
             np.asarray(getattr(ref, name)), np.asarray(getattr(out, name))
         )
+    report = {k: round(float(v), 2) for k, v in report.items()}
     worst = min(v for k, v in report.items() if k.endswith("_psnr_db"))
     return round(float(worst), 2), report
 
@@ -226,7 +227,17 @@ def _bench_1m(jax, np, Camera, merge, make_plane_cloud, make_box_cloud,
     _ = float(out.rgb.sum())
     fps = n_iters / (time.time() - t0)
     parity, _rep = _parity_gate(scene, cam, render)
-    return round(fps, 2), parity
+
+    # deepest-overdraw point: grazing view low over the dense 1M-splat
+    # plane stacks far more splats per tile than the orbit view — this is
+    # where PACKED8's 10-bit color / 14-bit opacity quantization margin is
+    # thinnest (VERDICT r03 weak #5).  Parity only; same compiled render.
+    cam_low = Camera.look_at(
+        eye=(0.85, 0.1, 0.10), target=(-0.6, 0, 0.04), up=(0, 0, 1),
+        fovx=np.deg2rad(60), fovy=np.deg2rad(47), width=640, height=480,
+    )
+    parity_over, _rep2 = _parity_gate(scene, cam_low, render)
+    return round(fps, 2), parity, parity_over
 
 
 def main():
@@ -291,6 +302,9 @@ def main():
     print(f"[bench] fps={fps:.1f}; running parity gate...", file=sys.stderr)
     try:
         line["pallas_parity_db"], parity_report = _parity_gate(scene, cam, render)
+        # full per-channel report, not just the min (regressions must be
+        # attributable to a channel — VERDICT r03 weak #5)
+        line["parity_report"] = parity_report
     except Exception as e:  # noqa: BLE001 — parity failure must be visible
         line["pallas_parity_db"] = None
         line["parity_error"] = f"{type(e).__name__}: {e}"
@@ -298,10 +312,15 @@ def main():
 
     # 1M-splat headline (realistic env reconstructions are 1e5-1e6 splats,
     # SURVEY section 6) — measured EVERY round, with its own parity figure
+    # plus a deepest-overdraw parity point (grazing camera)
     print(f"[bench] parity={line['pallas_parity_db']}; 1M-splat scene...",
           file=sys.stderr)
     try:
-        line["value_1m"], line["parity_1m_db"] = _bench_1m(
+        (
+            line["value_1m"],
+            line["parity_1m_db"],
+            line["parity_overdraw_db"],
+        ) = _bench_1m(
             jax, np, Camera, merge, make_plane_cloud, make_box_cloud, platform
         )
     except Exception as e:  # noqa: BLE001
