@@ -490,8 +490,10 @@ class PEGASUS:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        readers = ThreadPoolExecutor(max_workers=2)
-        DEPTH = 2  # chunks in flight
+        readers = ThreadPoolExecutor(max_workers=4)
+        DEPTH = 3  # chunks in flight: enough that a congestion spike on
+        # one fetch (tunneled links jitter 3-300 ms per RPC) does not
+        # stall the device between chunks
 
         # static mode: one pose per scene — the SAME arrays every dispatch,
         # so `_posed_scene` / `_poses_np` hit their identity caches and the
