@@ -202,7 +202,6 @@ def main(argv=None):
             ok = False
             report["failure"] = f"GT-as-estimates self-score out of gate: {s}"
 
-        # roster coverage: every env must appear; most objects should
         ndds = sorted((dataset_dir / "train_ndds").glob("*.json"))
         report["ndds_files"] = len(ndds)
         stats_path = dataset_dir / "generation_stats.jsonl"
@@ -213,6 +212,24 @@ def main(argv=None):
             report["mean_frames_per_s"] = round(
                 float(np.mean([r["frames_per_s"] for r in rows])), 2
             )
+            # roster coverage (CHECKED, not assumed): every environment
+            # must host at least one scene, and the random subsets must
+            # draw from a majority of the object roster
+            envs_used = sorted({r["env"] for r in rows if "env" in r})
+            ids_used = sorted(
+                {i for r in rows for i in r.get("object_ids", ())}
+            )
+            report["envs_used"] = envs_used
+            report["distinct_object_ids_used"] = len(ids_used)
+            n_roster = len(YCB) + len(NOODLES)
+            if len(rows) >= 8 and (
+                len(envs_used) < len(ENVS) or len(ids_used) < n_roster // 2
+            ):
+                ok = False
+                report["failure"] = (
+                    f"roster coverage too thin: envs={envs_used}, "
+                    f"{len(ids_used)}/{n_roster} objects"
+                )
     except Exception as e:  # noqa: BLE001 — report must always be written
         ok = False
         report["failure"] = f"{type(e).__name__}: {e}"

@@ -124,6 +124,8 @@ def run_generation(
             frames_per_s=n_frames / dt,
             splats=int(pegasus.template.cloud.num_splats),
             n_objects=len(pegasus.bullet_ids),
+            env=pegasus.selected_env_name,
+            object_ids=pegasus.selected_object_ids,
             **{f"t_{k}": v for k, v in timers.items()},
         )
 

@@ -378,6 +378,8 @@ def run_generation_sharded(
                 frames_per_s=n_frames * n_real / dt,
                 splats=int(config.splat_budget),
                 n_objects=setup["n_obj"],
+                env=setup["env"].object_name,
+                object_ids=[int(o.ID) for o in setup["selected"]],
             )
 
     from concurrent.futures import ThreadPoolExecutor

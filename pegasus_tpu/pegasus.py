@@ -168,6 +168,7 @@ class PEGASUS:
         n_objects = int(self.rng.integers(min_num_objects, max_num_objects + 1))
         idx = self.rng.choice(len(obj_list), n_objects, replace=False).tolist()
         selected = [obj_list[i] for i in idx]
+        self.selected_object_ids = [int(o.ID) for o in selected]
 
         from pegasus_tpu.physics.engine import MAX_BODIES
 
