@@ -200,7 +200,9 @@ def main(argv=None):
             and s.get("AR_vsd", 0.0) >= 0.9
         ):
             ok = False
-            report["failure"] = f"GT-as-estimates self-score out of gate: {s}"
+            report.setdefault("failures", []).append(
+                f"GT-as-estimates self-score out of gate: {s}"
+            )
 
         ndds = sorted((dataset_dir / "train_ndds").glob("*.json"))
         report["ndds_files"] = len(ndds)
@@ -226,13 +228,13 @@ def main(argv=None):
                 len(envs_used) < len(ENVS) or len(ids_used) < n_roster // 2
             ):
                 ok = False
-                report["failure"] = (
+                report.setdefault("failures", []).append(
                     f"roster coverage too thin: envs={envs_used}, "
                     f"{len(ids_used)}/{n_roster} objects"
                 )
     except Exception as e:  # noqa: BLE001 — report must always be written
         ok = False
-        report["failure"] = f"{type(e).__name__}: {e}"
+        report.setdefault("failures", []).append(f"{type(e).__name__}: {e}")
         raise
     finally:
         report["ok"] = ok
