@@ -14,6 +14,7 @@ the same scene in ONE vmapped XLA program.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import List, Union
 
@@ -316,6 +317,84 @@ def decompose_mesh_hulls(
     return n_pad, d_pad, group_pad, k
 
 
+_ASSET_GEOMETRY_CACHE: dict = {}
+
+
+def _asset_geometry(urdf_path: Path, obj_type: str, max_points: int,
+                    max_edges: int, max_hull_parts: int,
+                    max_hull_planes: int) -> dict:
+    """Deterministic per-asset collision geometry, memoized process-wide.
+
+    Everything here is a pure function of the URDF + mesh bytes and the
+    engine's static capacity knobs (every sampler runs on a fixed seed),
+    but it is expensive host work — 200k surface samples for the env
+    heightfield, approximate convex decomposition, hull edge extraction —
+    and generation constructs a fresh engine PER SCENE over the same few
+    dozen assets.  Memoizing halves steady-state per-scene setup
+    (profiled: bake_heightfield + sampling was 0.74 s of a 1.48 s setup).
+    Keyed on the URDF's mtime so edited assets re-bake.
+    """
+    key = (
+        str(urdf_path), os.path.getmtime(urdf_path), obj_type,
+        max_points, max_edges, max_hull_parts, max_hull_planes,
+    )
+    hit = _ASSET_GEOMETRY_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    info = parse_urdf(urdf_path)
+    mesh_path = (
+        urdf_path.parent / info.collision_mesh if info.collision_mesh else None
+    )
+    has_mesh = mesh_path is not None and mesh_path.exists()
+    if has_mesh:
+        mesh = load_mesh(mesh_path)
+        verts = mesh.vertices * info.mesh_scale
+        faces = mesh.faces
+    else:
+        verts = np.array([[0, 0, 0.0]])
+        faces = None
+
+    hf_applicable = obj_type == "environment" and has_mesh and len(verts) > 3
+    heightfield = None
+    if hf_applicable:
+        try:
+            heightfield = bake_heightfield(verts, faces)
+        except Exception:
+            heightfield = None
+
+    pts = collision_points_from_mesh(verts, k=max_points, faces=faces)
+    lo, hi = verts.min(axis=0), verts.max(axis=0)
+    if obj_type == "object":
+        edge_a, edge_b, edge_mask = hull_edges_from_mesh(verts, max_edges)
+        plane_n, plane_d, plane_group, n_parts = decompose_mesh_hulls(
+            verts, faces, max_parts=max_hull_parts, max_planes=max_hull_planes,
+        )
+    else:
+        plane_n = plane_d = plane_group = None  # env: no pair contacts
+        edge_a = edge_b = edge_mask = None
+        n_parts = 1
+
+    geom = dict(
+        info=info,
+        hf_applicable=hf_applicable,
+        heightfield=heightfield,
+        points=pts,
+        lo=lo,
+        hi=hi,
+        plane_n=plane_n,
+        plane_d=plane_d,
+        plane_group=plane_group,
+        edge_a=edge_a,
+        edge_b=edge_b,
+        edge_mask=edge_mask,
+        n_parts=n_parts,
+        radius=float(np.linalg.norm(pts, axis=1).max()),
+    )
+    _ASSET_GEOMETRY_CACHE[key] = geom
+    return geom
+
+
 class PhysicsEngine:
     """Bullet-free drop simulation (reference ctor:
     physical_simulation.py:20-55)."""
@@ -383,13 +462,11 @@ class PhysicsEngine:
         body_id = len(self._bodies)
 
         urdf_path = self._resolve(name)
-        info = parse_urdf(urdf_path)
-        mesh_path = urdf_path.parent / info.collision_mesh if info.collision_mesh else None
-        if mesh_path is not None and mesh_path.exists():
-            mesh = load_mesh(mesh_path)
-            verts = mesh.vertices * info.mesh_scale
-        else:
-            verts = np.array([[0, 0, 0.0]])
+        geom = _asset_geometry(
+            urdf_path, obj_type, self.max_points, self.max_edges,
+            self.max_hull_parts, self.max_hull_planes,
+        )
+        info = geom["info"]
 
         if obj_type == "environment":
             q_xyzw = np.array([0.0, 0.0, 0.0, 1.0])
@@ -398,13 +475,10 @@ class PhysicsEngine:
                 "class_name": class_name,
             }
             mass = 0.0
-            # bake the env collision mesh into a heightfield (relief-aware
+            # the env collision mesh baked into a heightfield (relief-aware
             # ground contact; physics/heightfield.py)
-            if mesh_path is not None and mesh_path.exists() and len(verts) > 3:
-                try:
-                    self.heightfield = bake_heightfield(verts, mesh.faces)
-                except Exception:
-                    self.heightfield = None
+            if geom["hf_applicable"]:
+                self.heightfield = geom["heightfield"]
         elif obj_type == "object":
             euler = np.asarray(start_orientation_euler, np.float64)
             if np.any(euler != 0.0):
@@ -426,44 +500,23 @@ class PhysicsEngine:
         else:
             raise ValueError(f"Wrong entity - {obj_type}")
 
-        pts = collision_points_from_mesh(
-            verts,
-            k=self.max_points,
-            faces=mesh.faces if (mesh_path is not None and mesh_path.exists()) else None,
-        )
-        lo, hi = verts.min(axis=0), verts.max(axis=0)
-        if obj_type == "object":
-            edge_a, edge_b, edge_mask = hull_edges_from_mesh(
-                verts, self.max_edges
-            )
-            plane_n, plane_d, plane_group, n_parts = decompose_mesh_hulls(
-                verts,
-                mesh.faces
-                if (mesh_path is not None and mesh_path.exists())
-                else None,
-                max_parts=self.max_hull_parts,
-                max_planes=self.max_hull_planes,
-            )
-        else:
-            plane_n = plane_d = plane_group = None  # env: no pair contacts
-            edge_a = edge_b = edge_mask = None
-            n_parts = 1
+        lo, hi = geom["lo"], geom["hi"]
         self._bodies.append(
             {
                 "name": obj_name,
                 "type": obj_type,
                 "mass": mass,
-                "points": pts,
+                "points": geom["points"],
                 "inertia": box_inertia(max(mass, 1e-6), hi - lo),
                 "half_extents": (hi - lo) / 2.0,
-                "plane_n": plane_n,
-                "plane_d": plane_d,
-                "plane_group": plane_group,
-                "edge_a": edge_a,
-                "edge_b": edge_b,
-                "edge_mask": edge_mask,
-                "n_parts": n_parts,
-                "radius": float(np.linalg.norm(pts, axis=1).max()),
+                "plane_n": geom["plane_n"],
+                "plane_d": geom["plane_d"],
+                "plane_group": geom["plane_group"],
+                "edge_a": geom["edge_a"],
+                "edge_b": geom["edge_b"],
+                "edge_mask": geom["edge_mask"],
+                "n_parts": geom["n_parts"],
+                "radius": geom["radius"],
                 "start_pos": np.asarray(start_pos, np.float64),
                 "start_q_xyzw": q_xyzw,
             }
