@@ -160,6 +160,13 @@ def main(argv=None):
                     help="Gaussian noise std added to TRAINING views only "
                     "(photo sensor noise; held-out views stay clean so the "
                     "gate measures scene recovery, not noise replay)")
+    ap.add_argument("--densify-until", type=int, default=None,
+                    help="override the densify window end (default: "
+                    "min(15000, 60%% of iters) — the Inria schedule)")
+    ap.add_argument("--densify-grad-scale", type=float, default=1.0,
+                    help="multiplier on the Inria 2e-4 NDC densify "
+                    "threshold (<1 densifies harder; 1-Mpx scenes are "
+                    "under-split at the 512-calibrated default)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "train_asset_256.json"))
     args = ap.parse_args(argv)
@@ -204,7 +211,12 @@ def main(argv=None):
         capacity=args.capacity,
         iterations=args.iters,
         densify_from_iter=500,
-        densify_until_iter=min(15_000, int(args.iters * 0.6)),
+        densify_until_iter=(
+            args.densify_until
+            if args.densify_until is not None
+            else min(15_000, int(args.iters * 0.6))
+        ),
+        densify_grad_threshold=2e-4 * args.densify_grad_scale,
         densification_interval=150,
         opacity_reset_interval=100_000,  # a 3k run cannot recover a reset
         sh_increase_interval=1000,
@@ -257,6 +269,8 @@ def main(argv=None):
               "shading gradient + clutter)",
         "sensor_noise_std": args.sensor_noise,
         "heldout_views_clean": True,
+        "densify_until_iter": config.densify_until_iter,
+        "densify_grad_threshold": config.densify_grad_threshold,
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
