@@ -47,11 +47,15 @@ class Camera:
     def from_colmap(cls, qvec, tvec, fovx, fovy, width, height) -> "Camera":
         from pegasus_tpu.utils.pose import qvec2rotmat
 
+        # leaves stay HOST numpy: cameras are built in per-scene host code
+        # (trajectory interpolation) and device transfer happens once per
+        # chunk at dispatch — eager jnp.asarray here would cost 4 tiny
+        # host->device RPCs per camera on tunneled backends
         return cls(
-            R_w2c=jnp.asarray(qvec2rotmat(np.asarray(qvec)), jnp.float32),
-            t_w2c=jnp.asarray(tvec, jnp.float32),
-            fovx=jnp.asarray(fovx, jnp.float32),
-            fovy=jnp.asarray(fovy, jnp.float32),
+            R_w2c=np.asarray(qvec2rotmat(np.asarray(qvec)), np.float32),
+            t_w2c=np.asarray(tvec, np.float32),
+            fovx=np.float32(fovx),
+            fovy=np.float32(fovy),
             width=int(width),
             height=int(height),
         )
@@ -61,12 +65,12 @@ class Camera:
         """Inria Camera ctor layout: R is camera-to-world rotation, T is the
         world-to-camera translation (reference: src/gs/pegasus_setup.py:130-140
         feeding getWorld2View2)."""
-        R = jnp.asarray(R, jnp.float32)
+        R = np.asarray(R, np.float32)
         return cls(
             R_w2c=R.T,
-            t_w2c=jnp.asarray(T, jnp.float32),
-            fovx=jnp.asarray(FoVx, jnp.float32),
-            fovy=jnp.asarray(FoVy, jnp.float32),
+            t_w2c=np.asarray(T, np.float32),
+            fovx=np.float32(FoVx),
+            fovy=np.float32(FoVy),
             width=int(width),
             height=int(height),
         )
