@@ -209,6 +209,8 @@ def bin_splats(
     a_small: int = 4,
     big_budget: int = 16384,
     a_big: int = 36,
+    mid_budget: int = 0,
+    a_mid: int = 4,
     lane_pad: int = 1024,
     entry_cap: int | None = None,
     with_entry_origin: bool = False,
@@ -219,7 +221,16 @@ def bin_splats(
     extra sort payload and route the parameter gather through the
     structure-aware custom VJP (fast training transpose).  Requires
     entry_cap=None (training binning is uncapped; capped generation never
-    differentiates)."""
+    differentiates).
+
+    mid_budget > 0 adds a footprint-stratified MIDDLE bucket between the
+    per-splat core windows and the big bucket: the next mid_budget splats
+    by area (after the big_budget biggest) emit bbox-minus-core into an
+    a_mid-slot grid.  Used by the large-scene tier, where most splats are
+    1-2 tiles but a grazing view puts ~25% at a 2x2 footprint: slot count
+    then tracks the footprint distribution instead of paying a_small=4
+    for every subpixel splat.  Generation-only (the training VJP
+    transposes the 2-bucket slot structure)."""
     if with_entry_origin and entry_cap is not None:
         raise ValueError("with_entry_origin requires entry_cap=None")
     if with_entry_origin and pack8:
@@ -302,72 +313,104 @@ def bin_splats(
     if _stage == 'small_key':
         return small_key
 
-    # -- big bucket: top big_budget splats by area emit (bbox minus core) -----
+    # -- big/mid buckets: top winners by area emit (bbox minus core) ----------
     # Compaction sorts ONLY (key, index) — 2 operands — and row-gathers the
-    # 7 remaining columns for just the big_budget winners afterwards (32k-row
+    # 7 remaining columns for just the winners afterwards (32k-row
     # gathers are ~100x cheaper than carrying 7 extra payload columns through
     # a 1M-element sort: measured 7.6 ms -> ~1 ms at N=1M on v5e).
     big_key_order = jnp.where(area > a_small, -area, 1)
-    _, b_idx = jax.lax.sort(
+    _, b_idx_all = jax.lax.sort(
         (big_key_order, jnp.arange(n, dtype=jnp.int32)),
         num_keys=2,  # index as tiebreak: deterministic winner set
         is_stable=False,
     )
-    b_idx = b_idx[:big_budget]
-    b_isbig = area[b_idx] > a_small
-    b_tx0, b_ty0 = tx0[b_idx], ty0[b_idx]
-    b_w, b_h = w_t[b_idx], h_t[b_idx]
-    b_rank = rank_q[b_idx]
-    b_mx, b_my = mx[b_idx], my[b_idx]
+    b_idx = b_idx_all[:big_budget]
+
+    def bucket_keys(idx, a_b, _probe=False):
+        """[a_b, budget] keys for winner splats `idx`: full bbox minus the
+        core window (no double emission), clamped around the core at a_b
+        slots when the bbox exceeds the grid."""
+        k_isbig = area[idx] > a_small
+        k_tx0, k_ty0 = tx0[idx], ty0[idx]
+        k_w, k_h = w_t[idx], h_t[idx]
+        k_rank = rank_q[idx]
+        k_mx, k_my = mx[idx], my[idx]
+        if _probe:  # benchmark stage probe ('big_compact')
+            return (k_isbig, k_tx0, k_ty0, k_w, k_h, k_rank, k_mx, k_my)
+        kc_tx0, kc_ty0, kc_w, kc_h = core_window(
+            k_tx0, k_ty0, k_w, k_h, k_mx, k_my
+        )
+        # clamp oversized bboxes around the core (same shrink rule, cap a_b)
+        over_k = (k_w * k_h) > a_b
+        k_side = max(1, int(math.isqrt(a_b)))
+        e_tx0 = jnp.where(
+            over_k, jnp.clip(kc_tx0 - (k_side - core_w) // 2, 0, ntx - 1),
+            k_tx0,
+        )
+        e_ty0 = jnp.where(
+            over_k,
+            jnp.clip(kc_ty0 - (a_b // k_side - core_h) // 2, 0, nty - 1),
+            k_ty0,
+        )
+        e_w = jnp.where(over_k, jnp.minimum(k_side, ntx - e_tx0), k_w)
+        e_h = jnp.where(over_k, jnp.minimum(a_b // k_side, nty - e_ty0), k_h)
+
+        # same slot-major layout as the small bucket: [a_b, budget]
+        kslot = jnp.arange(a_b, dtype=jnp.int32)[:, None]  # [a_b, 1]
+        k_txs = e_tx0[None, :] + kslot % e_w[None, :]
+        k_tys = e_ty0[None, :] + kslot // e_w[None, :]
+        in_core = (
+            (k_txs >= kc_tx0[None, :])
+            & (k_txs < (kc_tx0 + kc_w)[None, :])
+            & (k_tys >= kc_ty0[None, :])
+            & (k_tys < (kc_ty0 + kc_h)[None, :])
+        )
+        k_valid = (
+            (kslot < (e_w * e_h)[None, :]) & ~in_core & k_isbig[None, :]
+        )
+        return jnp.where(
+            k_valid,
+            ((k_tys * ntx + k_txs) << depth_bits) | k_rank[None, :],
+            sentinel,
+        )
+
     if _stage == 'big_compact':
-        return (b_isbig, b_tx0, b_ty0, b_w, b_h, b_rank, b_mx, b_my)
+        return bucket_keys(b_idx, a_big, _probe=True)
 
-    bc_tx0, bc_ty0, bc_w, bc_h = core_window(b_tx0, b_ty0, b_w, b_h, b_mx, b_my)
-    # clamp oversized bboxes around the core (same shrink rule, cap a_big)
-    over_b = (b_w * b_h) > a_big
-    big_side = max(1, int(math.isqrt(a_big)))
-    e_tx0 = jnp.where(
-        over_b, jnp.clip(bc_tx0 - (big_side - core_w) // 2, 0, ntx - 1), b_tx0
-    )
-    e_ty0 = jnp.where(
-        over_b, jnp.clip(bc_ty0 - (a_big // big_side - core_h) // 2, 0, nty - 1),
-        b_ty0,
-    )
-    e_w = jnp.where(over_b, jnp.minimum(big_side, ntx - e_tx0), b_w)
-    e_h = jnp.where(over_b, jnp.minimum(a_big // big_side, nty - e_ty0), b_h)
-
-    # same slot-major layout as the small bucket: [a_big, big_budget]
-    bslot = jnp.arange(a_big, dtype=jnp.int32)[:, None]  # [a_big, 1]
-    b_txs = e_tx0[None, :] + bslot % e_w[None, :]
-    b_tys = e_ty0[None, :] + bslot // e_w[None, :]
-    in_core = (
-        (b_txs >= bc_tx0[None, :])
-        & (b_txs < (bc_tx0 + bc_w)[None, :])
-        & (b_tys >= bc_ty0[None, :])
-        & (b_tys < (bc_ty0 + bc_h)[None, :])
-    )
-    b_valid = (
-        (bslot < (e_w * e_h)[None, :]) & ~in_core & b_isbig[None, :]
-    )
-    big_key = jnp.where(
-        b_valid,
-        ((b_tys * ntx + b_txs) << depth_bits) | b_rank[None, :],
-        sentinel,
-    )  # [a_big, big_budget]
+    big_key = bucket_keys(b_idx, a_big)  # [a_big, big_budget]
     if _stage == 'big_key':
         return (small_key, big_key)
 
-    keys = jnp.concatenate([small_key.reshape(-1), big_key.reshape(-1)])
+    key_grids = [small_key, big_key]
+    idx_grids = [
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                         small_key.shape),
+        jnp.broadcast_to(b_idx[None, :], big_key.shape),
+    ]
+    if mid_budget > 0:
+        # footprint-stratified MIDDLE bucket: large scenes keep the cheap
+        # a_small=2 core (most splats are 1-2 tiles) but a grazing view
+        # puts ~25% of splats at a 2x2 footprint — far beyond big_budget.
+        # The next mid_budget splats by area get an a_mid-slot grid, so
+        # slot count tracks the footprint distribution instead of paying
+        # a_small=4 for every subpixel splat (sort 4.26M -> 3.3M at 1M).
+        if with_entry_origin:
+            raise ValueError(
+                "mid_budget is generation-only (training keeps the "
+                "2-bucket slot structure its custom VJP transposes)"
+            )
+        m_idx = b_idx_all[big_budget:big_budget + mid_budget]
+        mid_key = bucket_keys(m_idx, a_mid)  # [a_mid, mid_budget]
+        key_grids.append(mid_key)
+        idx_grids.append(jnp.broadcast_to(m_idx[None, :], mid_key.shape))
+
+    keys = jnp.concatenate([k.reshape(-1) for k in key_grids])
 
     # entry source indices (sort cost scales with LIVE payload operands:
     # measured +~1 ms per extra payload at M=1.8M, so the sort carries ONE
     # index payload and the 16 param fields are row-gathered afterwards —
     # 7.8 ms total vs 14-21 ms for a 13-payload sort)
-    small_val = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, :], small_key.shape
-    ).reshape(-1)
-    big_val = jnp.broadcast_to(b_idx[None, :], big_key.shape).reshape(-1)
-    vals = jnp.concatenate([small_val, big_val])
+    vals = jnp.concatenate([v.reshape(-1) for v in idx_grids])
     vals = jnp.where(keys == sentinel, n, vals)  # dummy row for invalids
     if _stage == 'keys_vals':
         return (keys, vals)

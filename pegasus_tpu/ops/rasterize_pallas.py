@@ -393,6 +393,8 @@ def rasterize_pallas(
     a_small: int | None = None,
     big_budget: int | None = None,
     a_big: int | None = None,
+    mid_budget: int | None = None,
+    a_mid: int = 4,
     entry_cap: int | None = None,
     interpret: bool = False,
     tiles_per_program: int = 4,
@@ -430,6 +432,16 @@ def rasterize_pallas(
         a_small = 2 if cloud.num_splats > LARGE_SCENE_SPLATS else 4
     if big_budget is None:
         big_budget = 32768 if cloud.num_splats > LARGE_SCENE_SPLATS else 16384
+    if mid_budget is None:
+        # footprint-stratified middle bucket (large scenes only): at 1M
+        # splats a grazing view puts ~245k splats at a 2x2 footprint —
+        # 7x big_budget — and the a_small=2 core clips half their tiles
+        # (measured grazing-view parity 36.8 dB vs the golden renderer;
+        # the 40 dB gate regime needs their full bbox).  262144 a_mid=4
+        # slots cover them at 1/4 the slot cost of a_small=4 for all:
+        # sort 2.26M -> 3.31M instead of 4.26M (grazing 48.1 dB; fps
+        # cost measured below in the entry_cap note).
+        mid_budget = 262144 if cloud.num_splats > LARGE_SCENE_SPLATS else 0
     if a_big is None:
         # swept on v5e (640x480 bench scenes, parity vs golden): the big
         # bucket's slot grid is ~95% dead at a_big=36 (210k scene: 28k
@@ -443,14 +455,15 @@ def rasterize_pallas(
         # pass a_big=36, big_budget=32768 explicitly for closeups).
         a_big = 8 if cloud.num_splats > LARGE_SCENE_SPLATS else 12
     if entry_cap is None and cloud.num_splats > LARGE_SCENE_SPLATS:
-        # sort slots are ~2x the live entry count at 1M splats (most are
-        # subpixel: measured live 1.336M of 2.52M slots); truncating the
-        # sorted entries to 1.5N cuts the dominant post-sort gather ~40%
-        # (cap sweep on v5e: 1.4N holds full 46.2 dB parity, 1.3N breaks;
-        # 1.5N keeps a ~165k-entry margin for denser viewpoints).
-        # Graceful only up to the cap — bench parity-gates 1M every round,
-        # and TileBins.overflow flags any live-entry truncation.
-        entry_cap = int(1.5 * cloud.num_splats)
+        # with the mid bucket the live entry count is the splats' true
+        # clipped-bbox coverage: measured 1.63N at the 1M bench orbit
+        # view, 1.65N at the grazing view (vs 1.34N when a_small=2
+        # clipped it).  1.8N truncates only dead sentinel slots at both
+        # and keeps a ~150k-entry margin for denser viewpoints.
+        # Graceful only up to the cap — bench parity-gates 1M every round
+        # (orbit AND grazing), and TileBins.overflow flags any live-entry
+        # truncation.
+        entry_cap = int(1.8 * cloud.num_splats)
     elif entry_cap is None and cloud.num_splats > MEDIUM_SCENE_SPLATS:
         # mid-size tier (300k < N <= 500k, a_small=4): live entries
         # measured 2.8N at 500k; 3.2N held full 58.1 dB parity at
@@ -471,7 +484,8 @@ def rasterize_pallas(
         proj, cam.width, cam.height, tile=tile,
         a_small=a_small, big_budget=min(big_budget, cloud.num_splats),
         a_big=a_big, lane_pad=chunk + 2 * _ALIGN, entry_cap=entry_cap,
-        pack8=pack_params,
+        mid_budget=min(mid_budget, max(cloud.num_splats - big_budget, 0)),
+        a_mid=a_mid, pack8=pack_params,
     )
     return composite_tiles_pallas(
         bins,

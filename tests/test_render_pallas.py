@@ -113,6 +113,61 @@ def test_entry_cap_overflow_flag(rng):
     assert bool(jf(proj))
 
 
+def test_mid_bucket_recovers_clipped_footprints(rng):
+    """Footprint-stratified mid bucket: a_small=2 alone clips >2-tile
+    footprints once the big winners run out; routing the next splats by
+    area through an a_mid-slot grid must restore coverage (image parity
+    vs the golden renderer), and must never LOSE coverage (live entries
+    are a superset of the clipped configuration's)."""
+    import pytest
+
+    from pegasus_tpu.ops.binning import bin_splats
+    from pegasus_tpu.ops.projection import project_gaussians
+
+    env = make_plane_cloud(rng, n=400, size=1.0)
+    box = make_box_cloud(rng, n=200, center=(0, 0, 0.08), object_id=1)
+    scene = merge([env, box])
+    cam = Camera.look_at(
+        eye=(0.4, 0.3, 0.5), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(45), width=64, height=64,
+    )
+    proj = project_gaussians(scene, cam)
+    n = int(np.asarray(proj.mean_x).shape[0])
+
+    ref = rasterize_reference(scene, cam, max_objects=2)
+    kw = dict(max_objects=2, chunk=128, interpret=True, a_small=2,
+              big_budget=8, a_big=16)
+    clipped = rasterize_pallas(scene, cam, mid_budget=0, **kw)
+    strat = rasterize_pallas(scene, cam, mid_budget=n, a_mid=16, **kw)
+    psnr_clipped = psnr(ref.rgb, clipped.rgb)
+    psnr_strat = psnr(ref.rgb, strat.rgb)
+    # the scene genuinely clips without the mid bucket (the test has teeth)
+    assert psnr_clipped < 40, psnr_clipped
+    assert psnr_strat > 40, psnr_strat
+    assert psnr_strat > psnr_clipped + 5
+
+    # coverage is restored at the binning level too: the stratified
+    # configuration's live entry count reaches unclipped binning's (the
+    # core window of an over-budget splat may add harmless extra tiles,
+    # so >= rather than ==)
+    full = bin_splats(proj, 64, 64, a_small=64, big_budget=8, a_big=64)
+    strat_bins = bin_splats(
+        proj, 64, 64, a_small=2, big_budget=8, a_big=16,
+        mid_budget=n, a_mid=16,
+    )
+    assert (
+        int(np.asarray(strat_bins.tile_count).sum())
+        >= int(np.asarray(full.tile_count).sum())
+    )
+
+    # training path refuses the mid bucket (its VJP transposes the
+    # 2-bucket slot structure)
+    with pytest.raises(ValueError):
+        bin_splats(
+            proj, 64, 64, a_small=2, mid_budget=16, with_entry_origin=True
+        )
+
+
 def test_packed8_roundtrip_bounds(rng):
     """PACKED8 encode/decode: radius and object id are EXACT; color and
     opacity quantization errors are bounded by half an LSB."""
