@@ -64,18 +64,28 @@ def _photo_texture(rng, xyz, base, octaves=4, jitter=0.08):
     return np.clip(tex * shade[:, None], 0.02, 0.98).astype(np.float32)
 
 
-def build_gt_scene(rng):
+def build_gt_scene(rng, jitter_scale=1.0):
     """Textured plane + 4 boxes + background clutter with photo-like
     statistics: multi-frequency structured texture, per-splat noise,
     a shading gradient, and specular-ish brightness variation.  A gray
     seed cloud must learn real high-frequency appearance + geometry
     (the reference trains on real photographs,
-    reference: src/reconstruction/object_reconstruction.py:196-201)."""
+    reference: src/reconstruction/object_reconstruction.py:196-201).
+
+    jitter_scale scales the per-splat white-noise component only.  The
+    GT is itself a 104k-splat cloud whose jitter is WHITE at the splat
+    spacing — recovering it exactly needs splat-for-splat
+    correspondence, so it acts as an irreducible PSNR floor that
+    tightens with resolution (each 1-Mpx pixel averages 4x fewer GT
+    splats than at 512^2).  jitter_scale=0 isolates that floor: same
+    structured texture/shading/clutter/sensor noise, no white
+    component (see benchmarks/train_asset_1024_30k_nojitter.json)."""
     env = make_plane_cloud(rng, n=60_000, size=1.2)
     env = env.replace(
         f_dc=jnp.asarray(
             shlib.rgb2sh(
-                _photo_texture(rng, env.xyz, base=(0.42, 0.38, 0.34))
+                _photo_texture(rng, env.xyz, base=(0.42, 0.38, 0.34),
+                               jitter=0.08 * jitter_scale)
             )
         )[:, None, :]
     )
@@ -95,7 +105,8 @@ def build_gt_scene(rng):
         )
         b = b.replace(
             f_dc=jnp.asarray(
-                shlib.rgb2sh(_photo_texture(rng, b.xyz, base=c, jitter=0.1))
+                shlib.rgb2sh(_photo_texture(rng, b.xyz, base=c,
+                                            jitter=0.1 * jitter_scale))
             )[:, None, :]
         )
         boxes.append(b)
@@ -115,7 +126,8 @@ def build_gt_scene(rng):
         cl = cl.replace(
             f_dc=jnp.asarray(
                 shlib.rgb2sh(
-                    _photo_texture(rng, cl.xyz, base=col, jitter=0.12)
+                    _photo_texture(rng, cl.xyz, base=col,
+                                   jitter=0.12 * jitter_scale)
                 )
             )[:, None, :]
         )
@@ -163,6 +175,10 @@ def main(argv=None):
     ap.add_argument("--densify-until", type=int, default=None,
                     help="override the densify window end (default: "
                     "min(15000, 60%% of iters) — the Inria schedule)")
+    ap.add_argument("--texture-jitter-scale", type=float, default=1.0,
+                    help="scale on the GT's per-splat white-noise albedo "
+                    "component; 0 isolates the splat-correspondence PSNR "
+                    "floor (see build_gt_scene)")
     ap.add_argument("--densify-grad-scale", type=float, default=1.0,
                     help="multiplier on the Inria 2e-4 NDC densify "
                     "threshold (<1 densifies harder; 1-Mpx scenes are "
@@ -173,7 +189,7 @@ def main(argv=None):
 
     platform = jax.devices()[0].platform
     rng = np.random.default_rng(42)
-    gt = jax.device_put(build_gt_scene(rng))
+    gt = jax.device_put(build_gt_scene(rng, args.texture_jitter_scale))
     w = h = args.size
 
     if platform == "cpu":
@@ -268,6 +284,7 @@ def main(argv=None):
         "gt": "photo-stats (multi-octave texture + per-splat noise + "
               "shading gradient + clutter)",
         "sensor_noise_std": args.sensor_noise,
+        "texture_jitter_scale": args.texture_jitter_scale,
         "heldout_views_clean": True,
         "densify_until_iter": config.densify_until_iter,
         "densify_grad_threshold": config.densify_grad_threshold,
