@@ -314,32 +314,63 @@ def bin_splats(
         return small_key
 
     # -- big/mid buckets: top winners by area emit (bbox minus core) ----------
-    # Compaction sorts ONLY (key, index) — 2 operands — and row-gathers the
-    # 7 remaining columns for just the winners afterwards (32k-row
-    # gathers are ~100x cheaper than carrying 7 extra payload columns through
-    # a 1M-element sort: measured 7.6 ms -> ~1 ms at N=1M on v5e).
+    # Winner FIELDS ride the compaction sort as three packed payload words
+    # (bbox, core window, depth rank) and are sliced + bit-unpacked
+    # afterwards.  Gathering them post-sort instead (field[idx] per
+    # column) is per-index bound and NON-linear in index count on TPU:
+    # 8 x 32k-row gathers measured ~0.3 ms, but 7 x 262k (the mid
+    # bucket) measured 33 ms — vs ~0.5 ms per extra sort payload at
+    # N=1M (diag: /tmp archived in benchmarks/binning_stage_tpu.py).
+    bx = max(1, (ntx - 1).bit_length())
+    by = max(1, (nty - 1).bit_length())
+    # core dims reach a_small itself when the splat FITS (a 4x1 bbox at
+    # a_small=4 keeps its full bbox as the core), so size the field for
+    # a_small, not max(core_w, core_h)
+    cbits = max(1, (a_small - 1).bit_length())
+    if 2 * (bx + by) > 32 or bx + by + 2 * cbits + 1 > 32:
+        raise ValueError(
+            "tile grid too large for packed binning payloads "
+            f"({ntx}x{nty} tiles at tile={tile}); increase `tile`"
+        )
+    pack_a = (
+        tx0
+        | (ty0 << bx)
+        | ((w_t - 1) << (bx + by))
+        | ((h_t - 1) << (2 * bx + by))
+    )
+    pack_b = (
+        c_tx0
+        | (c_ty0 << bx)
+        | ((c_w - 1) << (bx + by))
+        | ((c_h - 1) << (bx + by + cbits))
+        | ((area > a_small).astype(jnp.int32) << (bx + by + 2 * cbits))
+    )
     big_key_order = jnp.where(area > a_small, -area, 1)
-    _, b_idx_all = jax.lax.sort(
-        (big_key_order, jnp.arange(n, dtype=jnp.int32)),
+    _, b_idx_all, pa_all, pb_all, rk_all = jax.lax.sort(
+        (big_key_order, jnp.arange(n, dtype=jnp.int32),
+         pack_a, pack_b, rank_q),
         num_keys=2,  # index as tiebreak: deterministic winner set
         is_stable=False,
     )
     b_idx = b_idx_all[:big_budget]
 
-    def bucket_keys(idx, a_b, _probe=False):
-        """[a_b, budget] keys for winner splats `idx`: full bbox minus the
-        core window (no double emission), clamped around the core at a_b
-        slots when the bbox exceeds the grid."""
-        k_isbig = area[idx] > a_small
-        k_tx0, k_ty0 = tx0[idx], ty0[idx]
-        k_w, k_h = w_t[idx], h_t[idx]
-        k_rank = rank_q[idx]
-        k_mx, k_my = mx[idx], my[idx]
-        if _probe:  # benchmark stage probe ('big_compact')
-            return (k_isbig, k_tx0, k_ty0, k_w, k_h, k_rank, k_mx, k_my)
-        kc_tx0, kc_ty0, kc_w, kc_h = core_window(
-            k_tx0, k_ty0, k_w, k_h, k_mx, k_my
-        )
+    def bucket_keys(pa, pb, rk, a_b):
+        """[a_b, budget] keys for winner splats (payload slices `pa`,
+        `pb`, `rk`): full bbox minus the core window (no double
+        emission), clamped around the core at a_b slots when the bbox
+        exceeds the grid."""
+        srl = jax.lax.shift_right_logical
+        sub = lambda v, s, b: srl(v, s) & ((1 << b) - 1)
+        k_tx0 = sub(pa, 0, bx)
+        k_ty0 = sub(pa, bx, by)
+        k_w = sub(pa, bx + by, bx) + 1
+        k_h = sub(pa, 2 * bx + by, by) + 1
+        kc_tx0 = sub(pb, 0, bx)
+        kc_ty0 = sub(pb, bx, by)
+        kc_w = sub(pb, bx + by, cbits) + 1
+        kc_h = sub(pb, bx + by + cbits, cbits) + 1
+        k_isbig = sub(pb, bx + by + 2 * cbits, 1) == 1
+        k_rank = rk
         # clamp oversized bboxes around the core (same shrink rule, cap a_b)
         over_k = (k_w * k_h) > a_b
         k_side = max(1, int(math.isqrt(a_b)))
@@ -374,10 +405,13 @@ def bin_splats(
             sentinel,
         )
 
-    if _stage == 'big_compact':
-        return bucket_keys(b_idx, a_big, _probe=True)
+    if _stage == 'big_compact':  # benchmark stage probe
+        return (b_idx, pa_all[:big_budget], pb_all[:big_budget],
+                rk_all[:big_budget])
 
-    big_key = bucket_keys(b_idx, a_big)  # [a_big, big_budget]
+    big_key = bucket_keys(
+        pa_all[:big_budget], pb_all[:big_budget], rk_all[:big_budget], a_big
+    )  # [a_big, big_budget]
     if _stage == 'big_key':
         return (small_key, big_key)
 
@@ -399,8 +433,12 @@ def bin_splats(
                 "mid_budget is generation-only (training keeps the "
                 "2-bucket slot structure its custom VJP transposes)"
             )
-        m_idx = b_idx_all[big_budget:big_budget + mid_budget]
-        mid_key = bucket_keys(m_idx, a_mid)  # [a_mid, mid_budget]
+        m_end = big_budget + mid_budget
+        m_idx = b_idx_all[big_budget:m_end]
+        mid_key = bucket_keys(
+            pa_all[big_budget:m_end], pb_all[big_budget:m_end],
+            rk_all[big_budget:m_end], a_mid,
+        )  # [a_mid, mid_budget]
         key_grids.append(mid_key)
         idx_grids.append(jnp.broadcast_to(m_idx[None, :], mid_key.shape))
 

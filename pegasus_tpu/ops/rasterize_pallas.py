@@ -439,8 +439,12 @@ def rasterize_pallas(
         # (measured grazing-view parity 36.8 dB vs the golden renderer;
         # the 40 dB gate regime needs their full bbox).  262144 a_mid=4
         # slots cover them at 1/4 the slot cost of a_small=4 for all:
-        # sort 2.26M -> 3.31M instead of 4.26M (grazing 48.1 dB; fps
-        # cost measured below in the entry_cap note).
+        # sort 2.26M -> 3.31M instead of 4.26M.  Measured v5e 1M bench:
+        # 32.4 fps at 57.5 dB orbit / 48.2 dB grazing parity (vs 35.6
+        # fps at 46.2 / 36.8 without the mid bucket — the grazing view
+        # was under the gate).  Winner fields ride the compaction sort
+        # as packed payloads (binning.py) — gathering them at mid-bucket
+        # index counts measured 33 ms/frame.
         mid_budget = 262144 if cloud.num_splats > LARGE_SCENE_SPLATS else 0
     if a_big is None:
         # swept on v5e (640x480 bench scenes, parity vs golden): the big
