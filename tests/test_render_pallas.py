@@ -228,3 +228,135 @@ def test_render_outputs_overflow_surface(rng):
         scene, cam, max_objects=2, chunk=128, interpret=True, entry_cap=64,
     )
     assert bool(tight.overflow)
+
+
+@pytest.mark.parametrize("width,height", [(4096, 4096), (4096, 64)])
+def test_payload_packing_at_large_tile_grids(rng, width, height):
+    """Big/mid-bucket winner fields ride the compaction sort as
+    bit-packed int32 payload words (binning.py bucket_keys).  4096x4096
+    at tile=16 is a 256x256 tile grid — bx=by=8, the 32-bit packing
+    boundary where the h-1 field occupies the sign bit; 4096x64 checks
+    asymmetric bit widths.  The live (key, src) entry set from a
+    small+big+mid configuration must equal a NumPy brute-force of the
+    binning contract (every onscreen splat emits each tile of its
+    clipped bbox exactly once, keyed tile << depth_bits | depth_rank)
+    whenever no footprint exceeds its slot grid."""
+    import math
+
+    from pegasus_tpu.ops.binning import bin_splats
+    from pegasus_tpu.ops.projection import project_gaussians
+
+    env = make_plane_cloud(rng, n=400, size=1.0)
+    box = make_box_cloud(rng, n=200, center=(0, 0, 0.08), object_id=1)
+    scene = merge([env, box])
+    cam = Camera.look_at(
+        eye=(7.2, 5.6, 8.8), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(45),
+        width=width, height=height,
+    )
+    proj = project_gaussians(scene, cam)
+    n = int(np.asarray(proj.mean_x).shape[0])
+    tile = 16
+    ntx, nty = -(-width // tile), -(-height // tile)
+    n_tiles = ntx * nty
+    depth_bits = 31 - max(1, math.ceil(math.log2(n_tiles + 2)))
+
+    # brute-force expected entry set
+    mx, my = np.asarray(proj.mean_x), np.asarray(proj.mean_y)
+    r = np.asarray(proj.radius)
+    tx0 = np.clip(np.floor((mx - r) / tile), 0, ntx - 1).astype(np.int64)
+    tx1 = np.clip(np.floor((mx + r) / tile), 0, ntx - 1).astype(np.int64)
+    ty0 = np.clip(np.floor((my - r) / tile), 0, nty - 1).astype(np.int64)
+    ty1 = np.clip(np.floor((my + r) / tile), 0, nty - 1).astype(np.int64)
+    onscreen = (
+        np.asarray(proj.valid)
+        & (mx + r >= 0) & (mx - r < width)
+        & (my + r >= 0) & (my - r < height)
+    )
+    area = np.where(onscreen, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
+    a_slots = 144
+    assert area.max() <= a_slots  # precondition: nothing clamps
+    assert (area > 2).sum() > 8  # teeth: the mid bucket engages
+    rank = (
+        np.asarray(proj.depth, np.float32).view(np.int32).astype(np.int64)
+        >> (31 - depth_bits)
+    )
+    expected = set()
+    for i in np.nonzero(area > 0)[0]:
+        for ty in range(ty0[i], ty1[i] + 1):
+            for tx in range(tx0[i], tx1[i] + 1):
+                expected.add((int(((ty * ntx + tx) << depth_bits)
+                                  | rank[i]), int(i)))
+
+    keys, srcs = bin_splats(
+        proj, width, height, tile=tile, a_small=2, big_budget=8,
+        a_big=a_slots, mid_budget=n, a_mid=a_slots, _stage="sort",
+    )
+    sentinel = n_tiles << depth_bits
+    keys, srcs = np.asarray(keys), np.asarray(srcs)
+    live = keys != sentinel
+    got = set(zip(keys[live].tolist(), srcs[live].tolist()))
+    assert got == expected
+
+
+def test_payload_packing_sign_bit_fields():
+    """A splat spanning the FULL 256x256 tile grid at 4096x4096 puts
+    h_t-1 = 255 into packA's top byte — bits 24..31 including the int32
+    sign bit (binning.py pack_a at bx=by=8).  The unpack must use
+    logical shifts: every live entry of the giant splat must carry its
+    own src index, a tile inside its bbox, and its exact depth rank."""
+    import math
+
+    import jax.numpy as jnp
+
+    from pegasus_tpu.ops.binning import bin_splats
+    from pegasus_tpu.ops.projection import ProjectedGaussians
+
+    width = height = 4096
+    tile = 16
+    ntx = nty = width // tile
+    n_tiles = ntx * nty
+    depth_bits = 31 - max(1, math.ceil(math.log2(n_tiles + 2)))
+
+    # splat 0: giant (covers the whole grid); splats 1..8: small fillers
+    n = 9
+    f32 = lambda v: jnp.asarray(v, jnp.float32)
+    proj = ProjectedGaussians(
+        mean_x=f32([2048.0] + [100.0 * i for i in range(1, n)]),
+        mean_y=f32([2048.0] + [80.0 * i for i in range(1, n)]),
+        conic_a=f32([1e-6] + [0.1] * (n - 1)),
+        conic_b=f32([0.0] * n),
+        conic_c=f32([1e-6] + [0.1] * (n - 1)),
+        color_r=f32([0.5] * n),
+        color_g=f32([0.5] * n),
+        color_b=f32([0.5] * n),
+        opacity=f32([0.9] * n),
+        depth=f32([5.0] + [1.0 + 0.1 * i for i in range(1, n)]),
+        radius=f32([4096.0] + [24.0] * (n - 1)),
+        object_id=jnp.zeros((n,), jnp.int32),
+        valid=jnp.ones((n,), bool),
+    )
+    a_big = 64
+    keys, srcs = bin_splats(
+        proj, width, height, tile=tile, a_small=2, big_budget=4,
+        a_big=a_big, _stage="sort",
+    )
+    sentinel = n_tiles << depth_bits
+    keys, srcs = np.asarray(keys), np.asarray(srcs)
+    live = keys != sentinel
+    giant = live & (srcs == 0)
+    # the giant splat emits its core + the clamped a_big grid (minus
+    # core overlap), never more, never zero
+    count = int(giant.sum())
+    assert 2 <= count <= 2 + a_big
+    rank_exp = int(
+        np.float32(5.0).view(np.int32) >> np.int32(31 - depth_bits)
+    )
+    tiles = keys[giant] >> depth_bits
+    assert np.all((keys[giant] & ((1 << depth_bits) - 1)) == rank_exp)
+    assert np.all((tiles >= 0) & (tiles < n_tiles))
+    # sign-bit corruption scatters tiles outside the clamped window
+    # around the mean tile (128, 128); the window is at most 12x12
+    txs, tys = tiles % ntx, tiles // ntx
+    assert np.all(np.abs(txs - 128) <= 8)
+    assert np.all(np.abs(tys - 128) <= 8)
