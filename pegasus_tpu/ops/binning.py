@@ -11,8 +11,8 @@ shape static and — crucially — GATHER-FREE:
     measured 12-36 ms on TPU; all are avoided);
   * depth ordering rides the sort key: key = tile_id << depth_bits |
     depth_rank, so ONE 32-bit sort yields per-tile depth-ordered segments;
-  * the sort carries ONE index payload and the 16 packed parameters are
-    row-gathered from the compact [N+1, 16] matrix afterwards.  The
+  * the ENTRY sort carries ONE index payload and the 16 packed parameters
+    are row-gathered from the compact [N+1, 16] matrix afterwards.  The
     alternative — riding all 16 columns through the sort as payload
     operands — looks cheaper in isolation but LOSES end to end
     (v5e, carry-threaded fori_loop timing: 640x480 frame 14.4 -> 26.7 ms
@@ -22,6 +22,13 @@ shape static and — crucially — GATHER-FREE:
     matrix that stays splat-sized.  The output is a transposed [16, M]
     parameter matrix whose lane axis is entry order: exactly the layout
     the Pallas kernel DMAs.
+  * the COMPACTION sort (big/mid winner selection) is the opposite
+    trade: its payloads are splat-sized (no slot broadcast), and TPU
+    gathers are per-index bound and NON-linear in index count (8 x 32k
+    rows ~0.3 ms, 7 x 262k rows 33 ms), so winner fields ride it as
+    three bit-packed int32 words instead of being gathered post-sort
+    (~0.5 ms per payload at N=1M; 1M frame 18.4 -> 32.4 fps with the
+    mid bucket).
 """
 
 from __future__ import annotations
