@@ -183,6 +183,10 @@ def main(argv=None):
                     help="multiplier on the Inria 2e-4 NDC densify "
                     "threshold (<1 densifies harder; 1-Mpx scenes are "
                     "under-split at the 512-calibrated default)")
+    ap.add_argument("--densify-abs", action="store_true",
+                    help="AbsGS-style |per-tile| gradient accumulation "
+                    "(TrainConfig.densify_abs_grad); pair with a ~2x "
+                    "densify-grad-scale (abs dominates the signed norm)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "train_asset_256.json"))
     args = ap.parse_args(argv)
@@ -238,6 +242,7 @@ def main(argv=None):
         sh_increase_interval=1000,
         position_lr_max_steps=args.iters,
         max_split_per_round=16_384,
+        densify_abs_grad=args.densify_abs,
     )
     trainer = GSTrainer(config, width=w, height=h)
     print(f"[train_asset] trainer backend: {trainer.backend}", flush=True)
@@ -288,6 +293,7 @@ def main(argv=None):
         "heldout_views_clean": True,
         "densify_until_iter": config.densify_until_iter,
         "densify_grad_threshold": config.densify_grad_threshold,
+        "densify_abs_grad": config.densify_abs_grad,
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

@@ -99,12 +99,13 @@ class TileBins(NamedTuple):
     overflow: jnp.ndarray = jnp.asarray(False)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _gather_rows_structured(
     packed: jnp.ndarray,   # [N+1, 16]
     src: jnp.ndarray,      # [M_pad] i32 entry -> splat row (n = dummy)
     pos: jnp.ndarray,      # [M_pad] i32 entry -> PRE-sort slot position
     b_idx: jnp.ndarray,    # [big_budget] i32 big-bucket winner rows
+    abs_sink: jnp.ndarray,  # [N, 2] f32 zeros; see docstring
     n: int,
     a_small: int,
     a_big: int,
@@ -123,12 +124,22 @@ def _gather_rows_structured(
     the forward sort carries (16 payload columns ride ~free next to the
     key: measured 4.3 ms at 0.93M).  ~3x faster than the scatter end to
     end; numerics identical up to float addition order per splat.
+
+    ``abs_sink`` is a gradient SIDE CHANNEL for AbsGS-style densification
+    (Ye et al. 2024: signed per-pixel position gradients of a large splat
+    cancel, so fine detail under one big splat never crosses the densify
+    threshold).  The forward ignores it (pass zeros); its custom
+    "cotangent" is the per-splat sum of |per-ENTRY mean2d cotangents| —
+    tile-granular |grad| accumulation, the TPU analogue of AbsGS's
+    per-pixel |grad| (cancellation across a footprint happens across
+    tiles; within one 16x16 tile it is second-order).  Callers read it
+    with jax.grad w.r.t. abs_sink.
     """
     return packed[src]
 
 
-def _gather_rows_structured_fwd(packed, src, pos, b_idx, n, a_small, a_big,
-                                big_budget):
+def _gather_rows_structured_fwd(packed, src, pos, b_idx, abs_sink, n,
+                                a_small, a_big, big_budget):
     return packed[src], (src, pos, b_idx)
 
 
@@ -148,8 +159,15 @@ def _gather_rows_structured_bwd(n, a_small, a_big, big_budget, res, g):
     dpacked = jnp.concatenate(
         [small, jnp.zeros((1, f), g.dtype)], axis=0
     ).at[b_idx].add(big)
+    # abs_sink side channel: same slot-structured reduction over the
+    # |mean2d| cotangent columns (dead unless the caller differentiates
+    # w.r.t. abs_sink — XLA removes it otherwise)
+    ga = jnp.abs(g_pre[:, :2])
+    small_abs = ga[: a_small * n].reshape(a_small, n, 2).sum(axis=0)
+    big_abs = ga[a_small * n :].reshape(a_big, big_budget, 2).sum(axis=0)
+    dabs = small_abs.at[b_idx].add(big_abs)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return dpacked, f0(src), f0(pos), f0(b_idx)
+    return dpacked, f0(src), f0(pos), f0(b_idx), dabs
 
 
 _gather_rows_structured.defvjp(
@@ -222,6 +240,7 @@ def bin_splats(
     entry_cap: int | None = None,
     with_entry_origin: bool = False,
     pack8: bool = False,
+    abs_grad_sink: jnp.ndarray | None = None,
     _stage: str | None = None,
 ) -> TileBins:
     """with_entry_origin: carry each entry's pre-sort slot position as an
@@ -508,8 +527,10 @@ def bin_splats(
     if with_entry_origin:
         total = keys.shape[0]
         pos_pad = jnp.pad(sorted_pos, (0, lane_pad), constant_values=total)
+        if abs_grad_sink is None:
+            abs_grad_sink = jnp.zeros((n, 2), jnp.float32)
         params_t = _gather_rows_structured(
-            packed, src_pad, pos_pad, b_idx,
+            packed, src_pad, pos_pad, b_idx, abs_grad_sink,
             n, a_small, a_big, b_idx.shape[0],
         ).T  # [16, M + lane_pad]
     else:

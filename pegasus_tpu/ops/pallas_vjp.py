@@ -508,12 +508,17 @@ def rasterize_projected_pallas(
     big_budget: int = 16384,
     a_big: int = 36,
     interpret: bool = False,
+    abs_grad_sink=None,
 ) -> RenderOutputs:
     """Differentiable projected-splat rasterizer on the Pallas pair.
 
     Signature-compatible with rasterize_projected_tiled so the trainer can
     select backends; binning (gather) transposes to a scatter-add under
-    autodiff, exactly like the tiled path."""
+    autodiff, exactly like the tiled path.
+
+    abs_grad_sink: optional [N, 2] zeros whose jax.grad is the per-splat
+    sum of |per-entry mean2d cotangents| (AbsGS-style densify statistic;
+    see binning._gather_rows_structured)."""
     bins = bin_splats(
         proj, width, height, tile=tile,
         a_small=a_small, big_budget=big_budget, a_big=a_big,
@@ -522,6 +527,7 @@ def rasterize_projected_pallas(
         # tiled backend keeps the plain scatter transpose, so grad-parity
         # tests cross-validate two independent transpose implementations
         with_entry_origin=True,
+        abs_grad_sink=abs_grad_sink,
     )
     return composite_tiles_pallas_diff(
         bins, width, height, jnp.asarray(background, jnp.float32),

@@ -64,6 +64,17 @@ class TrainConfig:
     max_sh_degree: int = 3
     min_opacity: float = 0.005
     max_split_per_round: int = 8192
+    # AbsGS-style homogeneous gradients (Ye et al. 2024): drive densify
+    # with the per-splat sum of |per-TILE mean2d cotangents| instead of
+    # the signed sum's norm.  Signed per-pixel gradients across a large
+    # splat's footprint cancel, so fine detail under one big splat never
+    # crosses the threshold; |grad| accumulation recovers it.  The
+    # statistic dominates the signed norm, so pair with a higher
+    # densify_grad_threshold (AbsGS uses 4e-4 vs Inria's 2e-4).
+    # Requires the pallas/pallas_interpret backend (its structure-aware
+    # VJP exposes per-entry cotangents; the tiled backend's plain
+    # scatter transpose does not).
+    densify_abs_grad: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -145,6 +156,11 @@ class GSTrainer:
                 "pallas" if jax.devices()[0].platform == "tpu" else "tiled"
             )
         self.backend = backend
+        if config.densify_abs_grad and not backend.startswith("pallas"):
+            raise ValueError(
+                "densify_abs_grad needs the pallas backend (per-entry "
+                "cotangents come from its structure-aware VJP)"
+            )
         if render_fn is None:
             from pegasus_tpu.ops.rasterize_tiled import rasterize_tiled
 
@@ -201,22 +217,32 @@ class GSTrainer:
             state.step // c.sh_increase_interval, c.max_sh_degree
         )
 
-        def loss_fn(params, mean2d_offset):
+        def loss_fn(params, mean2d_offset, abs_sink):
             cloud = _with_params(state.cloud, params)
             # screen-space grad probe: the zero offset enters after
             # projection, so its gradient is the CUDA backward's mean2d
             # statistic (gaussian_model.py:453-456)
-            out = self._render_with_offset(cloud, cam, mean2d_offset, active_deg_f)
+            out = self._render_with_offset(
+                cloud, cam, mean2d_offset, active_deg_f, abs_sink
+            )
             pred = jnp.clip(out.rgb, 0.0, 1.0)
             loss, aux = gs_loss(pred, gt_image, c.lambda_dssim)
             return loss, aux
 
         params = _param_dict(state.cloud)
         offset = jnp.zeros((c.capacity, 2), jnp.float32)
+        sink = jnp.zeros((c.capacity, 2), jnp.float32)
+        argnums = (0, 1, 2) if c.densify_abs_grad else (0, 1)
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, offset)
-        param_grads, offset_grad = grads
+            loss_fn, argnums=argnums, has_aux=True
+        )(params, offset, sink)
+        if c.densify_abs_grad:
+            # |per-tile| accumulation (AbsGS): the probe that feeds
+            # _densify_stats; visibility semantics unchanged (abs > 0
+            # exactly where the signed grad could be nonzero)
+            param_grads, _, offset_grad = grads
+        else:
+            param_grads, offset_grad = grads
 
         # mask gradients of dead slots
         alive = state.cloud.alive
@@ -324,7 +350,8 @@ class GSTrainer:
             )
         )
 
-    def _render_with_offset(self, cloud, cam, mean2d_offset, active_deg):
+    def _render_with_offset(self, cloud, cam, mean2d_offset, active_deg,
+                            abs_sink=None):
         """Differentiable render with a screen-space offset injected after
         projection (the gradient probe for densification).  Backend
         'tiled' = XLA compositing (portable); 'pallas' = the fused
@@ -356,6 +383,7 @@ class GSTrainer:
                 max_objects=1,
                 big_budget=min(16384, self.config.capacity),
                 interpret=self.backend == "pallas_interpret",
+                abs_grad_sink=abs_sink,
             )
         return rasterize_projected_tiled(
             proj, self.width, self.height, self.background,

@@ -75,3 +75,48 @@ def test_refit_converges_on_pallas_backend(setup):
         for i in range(4)
     ]
     assert np.mean(losses) < 0.8 * float(m0["loss"])
+
+
+def test_abs_grad_probe_dominates_signed(setup):
+    """densify_abs_grad (AbsGS-style |per-tile| accumulation): the abs
+    statistic must (a) dominate the signed norm per splat, (b) strictly
+    exceed it for some multi-tile splat (signed per-tile gradients
+    cancel; that cancellation is the statistic's whole point), and
+    (c) preserve visibility semantics (nonzero exactly where the signed
+    probe could be)."""
+    config, cams, gts, cloud0 = setup
+    t_signed = GSTrainer(config, width=32, height=32,
+                         backend="pallas_interpret")
+    cfg_abs = TrainConfig(
+        **{**config.__dict__, "densify_abs_grad": True}
+    )
+    t_abs = GSTrainer(cfg_abs, width=32, height=32,
+                      backend="pallas_interpret")
+    s0 = t_signed.init_state(cloud0, spatial_lr_scale=0.5)
+
+    s_sig, m_sig = t_signed.train_step(s0, cams[0], gts[0])
+    s_abs, m_abs = t_abs.train_step(s0, cams[0], gts[0])
+    # the probe does not change the loss or the parameter step
+    assert np.isclose(float(m_sig["loss"]), float(m_abs["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_sig.cloud.xyz), np.asarray(s_abs.cloud.xyz),
+        rtol=1e-5, atol=1e-7,
+    )
+    g_sig = np.asarray(s_sig.xyz_grad_accum)
+    g_abs = np.asarray(s_abs.xyz_grad_accum)
+    # dominance: sum of |per-tile| >= |sum| (triangle inequality), up to
+    # float tolerance; both are post pixel->NDC rescale so directly
+    # comparable
+    assert np.all(g_abs >= g_sig * (1 - 1e-4) - 1e-12)
+    # teeth: at 32x32 / tile 16 the box spans tiles, so cancellation is
+    # present and the abs statistic strictly exceeds the signed one
+    assert g_abs.max() > g_sig.max() * 1.01
+    # visibility agreement
+    np.testing.assert_array_equal(g_abs > 0, g_sig > 0)
+
+
+def test_abs_grad_requires_pallas_backend(setup):
+    config, *_ = setup
+    cfg_abs = TrainConfig(**{**config.__dict__, "densify_abs_grad": True})
+    with pytest.raises(ValueError):
+        GSTrainer(cfg_abs, width=32, height=32, backend="tiled")
