@@ -338,6 +338,18 @@ def main():
             line["scene_setup_seconds"],
             line["device_frame_loop_seconds"],
         ) = _scenes_per_hour()
+        # effective device->host link bandwidth during the run: the wall
+        # gap over device time is readback through the dev tunnel
+        # (7-27 MB/s observed run to run), so scenes_per_hour swings
+        # with congestion — this field makes the swing attributable
+        # when comparing BENCH_r*.json across rounds
+        transfer_s = max(
+            line["scene_seconds"] - line["device_scene_seconds"]
+            - line["scene_setup_seconds"], 1e-9,
+        )
+        line["link_mbytes_per_s"] = round(
+            line["readback_bytes_per_scene"] / transfer_s / 1e6, 1
+        )
     except Exception as e:  # noqa: BLE001
         line["scenes_per_hour"] = None
         line["scene_error"] = f"{type(e).__name__}: {e}"
