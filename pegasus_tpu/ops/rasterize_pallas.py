@@ -444,7 +444,11 @@ def rasterize_pallas(
         # fps at 46.2 / 36.8 without the mid bucket — the grazing view
         # was under the gate).  Winner fields ride the compaction sort
         # as packed payloads (binning.py) — gathering them at mid-bucket
-        # index counts measured 33 ms/frame.
+        # index counts measured 33 ms/frame.  a_mid=4 is load-bearing:
+        # swept a_mid in {2,3,4} on v5e — 3 and 2 trade +0.7/+1.9 fps
+        # for grazing parity collapsing to 36.85 dB (a 2x2 footprint
+        # trips the oversize clamp at a_b<4 and the isqrt-width clamped
+        # window cannot cover the bbox-minus-core remainder).
         mid_budget = 262144 if cloud.num_splats > LARGE_SCENE_SPLATS else 0
     if a_big is None:
         # swept on v5e (640x480 bench scenes, parity vs golden): the big
