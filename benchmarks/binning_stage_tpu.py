@@ -41,7 +41,8 @@ def loop_time(make_body, init_carry):
     return (time.time() - t0) / K * 1e3
 
 
-def profile(n_env, n_obj_each, label, a_small, big_budget, a_big, entry_cap):
+def profile(n_env, n_obj_each, label, a_small, big_budget, a_big, entry_cap,
+            mid_budget=0):
     rng = np.random.default_rng(7)
     env = make_plane_cloud(rng, n=n_env, size=2.0)
     objs = [
@@ -70,6 +71,7 @@ def profile(n_env, n_obj_each, label, a_small, big_budget, a_big, entry_cap):
                 p, cam.width, cam.height, tile=16, a_small=a_small,
                 big_budget=min(big_budget, n), a_big=a_big,
                 lane_pad=chunk + 256, entry_cap=entry_cap,
+                mid_budget=mid_budget,
                 _stage=None if stage in ("full", "bounds") else stage,
             )
             if stage == "full":
@@ -92,7 +94,11 @@ def profile(n_env, n_obj_each, label, a_small, big_budget, a_big, entry_cap):
 
 def main():
     profile(150_000, 10_000, "210k", 4, 16384, 12, None)
-    profile(820_000, 30_000, "1M", 2, 32768, 8, 1_500_000)
+    # production 1M tier (rasterize_pallas defaults): mid bucket +
+    # 1.8N entry cap; winner fields ride the compaction sort as packed
+    # payloads (a_mid fixed at 4 inside bin_splats' default)
+    profile(820_000, 30_000, "1M", 2, 32768, 8, 1_800_000,
+            mid_budget=262_144)
 
 
 if __name__ == "__main__":
