@@ -89,10 +89,10 @@ class Camera:
         R_w2c = np.stack([right, down, fwd], axis=0)
         t_w2c = -R_w2c @ eye
         return cls(
-            R_w2c=jnp.asarray(R_w2c, jnp.float32),
-            t_w2c=jnp.asarray(t_w2c, jnp.float32),
-            fovx=jnp.asarray(fovx, jnp.float32),
-            fovy=jnp.asarray(fovy, jnp.float32),
+            R_w2c=np.asarray(R_w2c, np.float32),
+            t_w2c=np.asarray(t_w2c, np.float32),
+            fovx=np.float32(fovx),
+            fovy=np.float32(fovy),
             width=int(width),
             height=int(height),
         )

@@ -332,21 +332,24 @@ def _asset_geometry(urdf_path: Path, obj_type: str, max_points: int,
     and generation constructs a fresh engine PER SCENE over the same few
     dozen assets.  Memoizing halves steady-state per-scene setup
     (profiled: bake_heightfield + sampling was 0.74 s of a 1.48 s setup).
-    Keyed on the URDF's mtime so edited assets re-bake.
+    Keyed on the mtimes of both the URDF and its collision mesh so
+    edited assets re-bake; cached arrays are frozen read-only so an
+    accidental in-place mutation raises instead of corrupting every
+    later scene sharing the asset.
     """
-    key = (
-        str(urdf_path), os.path.getmtime(urdf_path), obj_type,
-        max_points, max_edges, max_hull_parts, max_hull_planes,
-    )
-    hit = _ASSET_GEOMETRY_CACHE.get(key)
-    if hit is not None:
-        return hit
-
     info = parse_urdf(urdf_path)
     mesh_path = (
         urdf_path.parent / info.collision_mesh if info.collision_mesh else None
     )
     has_mesh = mesh_path is not None and mesh_path.exists()
+    key = (
+        str(urdf_path), os.path.getmtime(urdf_path), obj_type,
+        str(mesh_path), os.path.getmtime(mesh_path) if has_mesh else None,
+        max_points, max_edges, max_hull_parts, max_hull_planes,
+    )
+    hit = _ASSET_GEOMETRY_CACHE.get(key)
+    if hit is not None:
+        return hit
     if has_mesh:
         mesh = load_mesh(mesh_path)
         verts = mesh.vertices * info.mesh_scale
@@ -391,6 +394,9 @@ def _asset_geometry(urdf_path: Path, obj_type: str, max_points: int,
         n_parts=n_parts,
         radius=float(np.linalg.norm(pts, axis=1).max()),
     )
+    for v in geom.values():  # freeze shared arrays (Heightfield leaves are jnp)
+        if isinstance(v, np.ndarray):
+            v.setflags(write=False)
     _ASSET_GEOMETRY_CACHE[key] = geom
     return geom
 
