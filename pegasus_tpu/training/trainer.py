@@ -534,9 +534,13 @@ class GSTrainer:
         scene_extent: float = 1.0,
         log_every: int = 0,
         mesh=None,
+        iteration_hook=None,
     ):
         """mesh: optional device mesh -> each iteration renders a
-        mesh-size camera batch data-parallel (one psum'd update)."""
+        mesh-size camera batch data-parallel (one psum'd update).
+        iteration_hook: optional ``f(state, global_step)`` called after
+        every iteration (used to serve the SIBR network GUI mid-training,
+        reference: src/gs/gs_training.py:43-44)."""
         c = self.config
         iterations = iterations or c.iterations
         rng = np.random.default_rng(seed)
@@ -581,7 +585,46 @@ class GSTrainer:
                     f"iter {gstep}: loss={float(metrics['loss']):.4f} "
                     f"alive={int(np.asarray(state.cloud.alive).sum())}"
                 )
+            if iteration_hook is not None:
+                iteration_hook(state, gstep)
         return state, metrics
+
+
+def _gui_iteration_hook(model_path: str, max_iterations: int):
+    """SIBR network-GUI service closure, called once per training
+    iteration (reference loop: gaussian-splatting train.py via
+    src/gs/gs_training.py:43-44): accept a viewer connection
+    non-blockingly; while one is live, answer each request with a render
+    of the CURRENT (mid-training) cloud from the requested camera, and
+    return to training when the client asks for it (``train=True``) or
+    disconnects."""
+    from pegasus_tpu import network_gui as ng
+    from pegasus_tpu.ops.rasterize_ref import rasterize_reference
+
+    def hook(state, gstep):
+        if ng.conn is None:
+            ng.try_connect()
+        while ng.conn is not None:
+            try:
+                cam, do_training, _, _, keep_alive, scaling = ng.receive()
+                img_bytes = None
+                if cam is not None:
+                    alive = np.asarray(state.cloud.alive)
+                    compact = jax.tree.map(
+                        lambda x: np.asarray(x)[alive], state.cloud
+                    )
+                    out = rasterize_reference(
+                        compact, cam, scaling_modifier=scaling
+                    )
+                    img = np.clip(np.asarray(out.rgb), 0.0, 1.0)
+                    img_bytes = (img * 255).astype(np.uint8).tobytes()
+                ng.send(img_bytes, model_path)
+                if do_training and (gstep < max_iterations or not keep_alive):
+                    break
+            except Exception:  # noqa: BLE001 — reference resets the socket
+                ng.conn = None
+
+    return hook
 
 
 def train_gaussian_splatting_wrapper(
@@ -592,11 +635,17 @@ def train_gaussian_splatting_wrapper(
     iterations: int = 30_000,
     gui: bool = False,
     capacity: int | None = None,
+    ip: str = "127.0.0.1",
+    port: int = 6009,
     **kwargs,
 ):
     """API mirror of the reference wrapper (src/gs/gs_training.py:13-50):
     train a GS asset from a COLMAP reconstruction directory and save PLY
-    checkpoints under <model_path>/point_cloud/iteration_<k>/."""
+    checkpoints under <model_path>/point_cloud/iteration_<k>/.
+
+    ``gui=True`` serves the in-training cloud to a SIBR remote viewer
+    over the Inria ``network_gui`` wire protocol on (ip, port) — the
+    reference enables the same server via gs_training.py:43-44."""
     import os
     from pathlib import Path
 
@@ -615,24 +664,40 @@ def train_gaussian_splatting_wrapper(
     cloud0 = init_from_points(scene["points"], scene["colors"], config)
     state = trainer.init_state(cloud0, spatial_lr_scale=scene["extent"])
 
-    save_at = sorted(set(list(SAVE_ITERATION) + [iterations]))
-    done = 0
-    for milestone in save_at:
-        if milestone > iterations:
-            continue
-        state, _ = trainer.train(
-            state,
-            scene["cameras"],
-            scene["images"],
-            iterations=milestone - done,
-            scene_extent=scene["extent"],
-        )
-        done = milestone
-        out = Path(model_path) / "point_cloud" / f"iteration_{milestone}"
-        alive = np.asarray(state.cloud.alive)
-        compact = jax.tree.map(lambda x: np.asarray(x)[alive], state.cloud)
-        save_gs_ply(compact, str(out / "point_cloud.ply"))
-        # the reference's save_ply also writes the o3d companion cloud
-        # (gaussian_model.py:475-479) consumed by URDF meshing/alignment
-        save_o3d_ply(compact, str(out / "point_cloud_o3d.ply"))
+    hook = None
+    if gui:
+        from pegasus_tpu import network_gui as ng
+
+        ng.init(ip, port)
+        hook = _gui_iteration_hook(str(model_path), iterations)
+
+    try:
+        save_at = sorted(set(list(SAVE_ITERATION) + [iterations]))
+        done = 0
+        for milestone in save_at:
+            if milestone > iterations:
+                continue
+            state, _ = trainer.train(
+                state,
+                scene["cameras"],
+                scene["images"],
+                iterations=milestone - done,
+                scene_extent=scene["extent"],
+                iteration_hook=hook,
+            )
+            done = milestone
+            out = Path(model_path) / "point_cloud" / f"iteration_{milestone}"
+            alive = np.asarray(state.cloud.alive)
+            compact = jax.tree.map(
+                lambda x: np.asarray(x)[alive], state.cloud
+            )
+            save_gs_ply(compact, str(out / "point_cloud.ply"))
+            # the reference's save_ply also writes the o3d companion cloud
+            # (gaussian_model.py:475-479) consumed by URDF meshing/alignment
+            save_o3d_ply(compact, str(out / "point_cloud_o3d.ply"))
+    finally:
+        if gui:
+            from pegasus_tpu import network_gui as ng
+
+            ng.close()
     return state

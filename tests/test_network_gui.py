@@ -15,13 +15,13 @@ import numpy as np
 import pytest
 
 
-def _client_request(sock, width, height, view=None):
+def _client_request(sock, width, height, view=None, train=False):
     if view is None:
         view = np.eye(4, dtype=np.float32)
     msg = {
         "resolution_x": width,
         "resolution_y": height,
-        "train": False,
+        "train": train,
         "fov_x": 1.0,
         "fov_y": 0.8,
         "z_near": 0.01,
@@ -207,3 +207,111 @@ def test_publish2gui_serves_during_generation(tmp_path):
     finally:
         PEGASUS.PORT = old_port
         ng.close()
+
+
+def test_gui_serves_during_training(tmp_path):
+    """train_gaussian_splatting_wrapper(gui=True) answers a SIBR client
+    mid-training: one receive -> render-current-cloud -> send cycle, then
+    the client's train=True releases the loop (reference:
+    src/gs/gs_training.py:43-44 enables the same server)."""
+    import time
+
+    from pegasus_tpu import network_gui as ng
+    from pegasus_tpu.camera import Camera
+    from pegasus_tpu.io import colmap as cio
+    from pegasus_tpu.io.png import write_png
+    from pegasus_tpu.ops.rasterize_ref import rasterize_reference
+    from pegasus_tpu.testing import make_box_cloud, make_colmap_hemisphere
+    from pegasus_tpu.training.trainer import train_gaussian_splatting_wrapper
+    from pegasus_tpu.utils.pose import focal2fov
+
+    rng = np.random.default_rng(3)
+    W = H = 32
+    focal = 40.0
+    cams, images = make_colmap_hemisphere(
+        n_images=4, radius=0.5, width=W, height=H, focal=focal
+    )
+    gt_cloud = make_box_cloud(
+        rng, n=200, half_extents=(0.07, 0.07, 0.09), rgb=(0.7, 0.3, 0.2),
+        object_id=0,
+    )
+    sparse = tmp_path / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    cio.write_cameras_binary(cams, sparse / "cameras.bin")
+    cio.write_images_binary(images, sparse / "images.bin")
+    pts_xyz = np.asarray(gt_cloud.xyz)[::4]
+    pts = {
+        i: cio.ColmapPoint3D(
+            i, pts_xyz[i], np.array([150, 80, 60], np.uint8), 0.1,
+            np.zeros(0, np.int32), np.zeros(0, np.int32),
+        )
+        for i in range(len(pts_xyz))
+    }
+    cio.write_points3d_binary(pts, sparse / "points3D.bin")
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    fov = focal2fov(focal, W)
+    for im in images.values():
+        cam = Camera.from_colmap(im.qvec, im.tvec, fov, fov, W, H)
+        out = rasterize_reference(gt_cloud, cam, max_objects=1, chunk=512)
+        write_png(
+            img_dir / im.name,
+            (np.clip(np.asarray(out.rgb), 0, 1) * 255).astype(np.uint8),
+        )
+
+    # ephemeral port
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    model_dir = tmp_path / "model"
+    result = {}
+
+    def server():
+        result["state"] = train_gaussian_splatting_wrapper(
+            str(tmp_path), str(model_dir),
+            TEST_ITERATION=(3,), SAVE_ITERATION=(3,), iterations=3,
+            capacity=512, gui=True, ip="127.0.0.1", port=port,
+        )
+
+    th = threading.Thread(target=server, daemon=True)
+    th.start()
+
+    client = None
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        try:
+            client = socket.create_connection(("127.0.0.1", port), timeout=60)
+            break
+        except OSError:
+            time.sleep(0.05)
+    assert client is not None
+    client.settimeout(300)
+
+    # camera looking at the origin from +z, client-side view encoding
+    w, h = 32, 24
+    R_w2c = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+    W2C = np.eye(4, dtype=np.float32)
+    W2C[:3, :3] = R_w2c
+    W2C[:3, 3] = [0, 0, 1.2]
+    view = W2C.T.copy()
+    view[:, 1] = -view[:, 1]
+    view[:, 2] = -view[:, 2]
+
+    # cycle 1: request a render of the in-training cloud
+    _client_request(client, w, h, view=view)
+    img, verify = _client_read_frame(client, w, h)
+    assert img.shape == (h, w, 3)
+    assert verify == str(model_dir)
+    assert img.mean() > 0.5  # the seeded cloud is visible, not all-black
+
+    # cycle 2: train=True releases the hook back to training
+    _client_request(client, 0, 0, train=True)
+    vlen = int.from_bytes(client.recv(4), "little")
+    assert client.recv(vlen).decode("ascii") == str(model_dir)
+    client.close()
+
+    th.join(timeout=600)
+    assert not th.is_alive()
+    assert (model_dir / "point_cloud" / "iteration_3" / "point_cloud.ply").exists()
