@@ -229,3 +229,133 @@ def test_multi_object_tilted_drop_rest_poses():
         assert drift < 0.025, f"body {i} drifted {drift * 1e3:.1f} mm"
         assert float(jnp.linalg.norm(final.linvel[i])) < 0.02
         assert float(jnp.linalg.norm(final.angvel[i])) < 0.05
+
+
+def _write_xyz_ply(path, pts):
+    pts = np.asarray(pts, np.float32)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(pts)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n"
+    ).encode()
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(np.ascontiguousarray(pts).tobytes())
+
+
+def _cone_point_cloud(rng, n_volume=3000):
+    """Synthetic 'trained GS cloud' of the cup-noodle container: exact
+    surface rings (rim fidelity) + uniform volume fill (keeps the alpha
+    shape solid), same dimensions as the hand-tuned proxy."""
+    zs = np.linspace(-HEIGHT / 2, HEIGHT / 2, 7)
+    rs = R_BOT + (R_TOP - R_BOT) * (zs - zs[0]) / HEIGHT
+    ang = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+    rings = [
+        np.stack([r * np.cos(ang), r * np.sin(ang), np.full_like(ang, z)], 1)
+        for z, r in zip(zs, rs)
+    ]
+    # volume fill: sample the bounding cylinder, keep inside the cone
+    m = rng.uniform(-1, 1, (4 * n_volume, 3)) * [R_TOP, R_TOP, HEIGHT / 2]
+    r_at = R_BOT + (R_TOP - R_BOT) * (m[:, 2] + HEIGHT / 2) / HEIGHT
+    inside = np.hypot(m[:, 0], m[:, 1]) <= r_at
+    return np.concatenate(rings + [m[inside][:n_volume]], axis=0)
+
+
+def test_rest_pose_with_pipeline_generated_geometry(tmp_path, bullet_run):
+    """Replay the recorded Bullet drop with collision geometry built by
+    the AUTOMATED asset pipeline (URDFGenerator alpha-shape mesh -> URDF
+    -> engine convex decomposition) instead of the hand-tuned cone proxy
+    (VERDICT r4 next-step #8): the pipeline-generated geometry must land
+    in the same Bullet rest-pose agreement gates.  Reference chain:
+    object_reconstruction.py:206-221 (URDF generation) feeding
+    physical_simulation.py:57-96 (loadURDF)."""
+    from scipy.spatial.transform import Rotation
+
+    from pegasus_tpu.physics.engine import PhysicsEngine
+    from pegasus_tpu.reconstruction.urdf_gen import URDFGenerator
+    from pegasus_tpu.utils.pose import qvec2rotmat
+
+    t_ref, q_ref = bullet_run
+    rng = np.random.default_rng(5)
+
+    # -- object: GS-cloud ply -> alpha-shape obj + urdf (the real pipeline)
+    cup_ply = tmp_path / "cup_o3d.ply"
+    _write_xyz_ply(cup_ply, _cone_point_cloud(rng))
+    gen = URDFGenerator(cup_ply, object_type="object", mass=0.08)
+    gen.generate(tmp_path / "cup.obj", tmp_path / "cup.urdf", alpha=0.02)
+
+    # -- environment: flat slab cloud -> alpha-shape env mesh + urdf
+    top = rng.uniform(-1, 1, (1500, 2))
+    slab = np.concatenate(
+        [
+            np.concatenate([top, np.zeros((len(top), 1))], axis=1),
+            rng.uniform(-1, 1, (1500, 3)) * [1, 1, 0.02] - [0, 0, 0.02],
+        ],
+        axis=0,
+    )
+    env_ply = tmp_path / "env_o3d.ply"
+    _write_xyz_ply(env_ply, slab)
+    env_gen = URDFGenerator(env_ply, object_type="environment")
+    env_gen.generate(tmp_path / "env.obj", tmp_path / "env.urdf", alpha=0.3)
+
+    class _Inst:
+        def __init__(self, name, type_):
+            self.OBJECT_NAME = name
+            self.TYPE = type_
+            self.ID = 104
+
+        @property
+        def urdf_file_name(self):
+            return f"{self.OBJECT_NAME}.urdf"
+
+    engine = PhysicsEngine(
+        str(tmp_path), str(tmp_path / "sim.json"),
+        simulation_steps=len(t_ref) + 1, dt=DT_FIXTURE,
+        gravity=(0, 0, -50.0),
+    )
+    engine.add_object(_Inst("env", "environment"))
+
+    # URDFGenerator recenters the mesh at its center of mass; the recorded
+    # base origin is the cone's geometric center, which now sits at
+    # center_translation in the body frame (gs_cleaning contract)
+    com = -gen.center_translation
+    R0 = Rotation.from_quat(q_ref[0])
+    start = t_ref[0] + R0.apply(com)
+    start[2] += 50.0 * DT_FIXTURE**2  # fixture's unrecorded leading step
+    engine.add_object(
+        _Inst("cup", "object"), start_pos=start,
+        start_orientation_euler=tuple(R0.as_euler("xyz")),
+    )
+    traj = engine.simulate(write_json=False)
+
+    pos = np.asarray(traj.times_t[1])  # [T, 3], record k <-> sim step k+1
+    q_xyzw = np.asarray(traj.times_q[1])  # [T, 4]
+    # world-z of the original (geometric-center) origin at each step
+    off = np.stack(
+        [qvec2rotmat(np.roll(q, 1)) @ gen.center_translation for q in
+         (q_xyzw[0], q_xyzw[len(t_ref) - 1])]
+    )
+    z0_eq = pos[0, 2] + off[0, 2]
+    z_rest = pos[len(t_ref) - 1, 2] + off[1, 2]
+
+    # free fall: integrator-exact through the pipeline path too
+    assert abs(z0_eq - t_ref[0, 2]) < 6e-3
+    # same rest-pose gates as the hand-proxy test above
+    z_rest_ref = t_ref[-1, 2]
+    assert 0.030 < z_rest < 0.080, f"rest z {z_rest:.4f} outside cup band"
+    assert abs(z_rest - z_rest_ref) < 0.025, (
+        f"rest height |{z_rest:.4f} - {z_rest_ref:.4f}| >= 2.5 cm"
+    )
+    drift = np.linalg.norm(pos[len(t_ref) - 1, :2] - t_ref[-1, :2])
+    assert drift < 0.048, f"horizontal rest drift {drift:.3f} m vs Bullet"
+    # rest height in Bullet's own height-stable configuration set (12 mm)
+    z = t_ref[:, 2]
+    w = 50
+    zw = np.lib.stride_tricks.sliding_window_view(z, w)
+    stable = zw[np.ptp(zw, axis=1) < 1e-3].mean(axis=1)
+    gap = np.abs(stable - z_rest).min()
+    assert gap < 0.012, (
+        f"pipeline-geometry rest z {z_rest:.4f} is {gap * 1e3:.1f} mm from "
+        f"Bullet's nearest stable configuration"
+    )
