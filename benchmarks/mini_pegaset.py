@@ -181,27 +181,67 @@ def main(argv=None):
         csv = root / "gt_estimates.csv"
         report["n_estimates"] = gt_as_estimates_csv(dataset_dir, csv)
         t0 = time.time()
-        scores = score_bop19(csv, root / "out", "mini_pegaset")
+        scores = score_bop19(
+            csv, root / "out", "mini_pegaset", return_items=True
+        )
         report["score_s"] = round(time.time() - t0, 1)
         report["bop19_scores"] = {
             k: v for k, v in scores.items() if isinstance(v, (int, float))
         }
+        # per-frame vsd recall distribution: the loss must be a thin tail
+        # of occlusion-boundary frames, not a uniform depression
+        # (VERDICT r4 item 3 — the gap must be attributable).
+        rv = np.asarray(
+            [it["recall_vsd"] for it in scores["items"]
+             if it["recall_vsd"] is not None]
+        )
+        report["vsd_recall_distribution"] = {
+            "n": int(rv.size),
+            "min": round(float(rv.min()), 4),
+            "p1": round(float(np.percentile(rv, 1)), 4),
+            "p5": round(float(np.percentile(rv, 5)), 4),
+            "p50": round(float(np.percentile(rv, 50)), 4),
+            "frames_below_1": int(np.sum(rv < 1.0)),
+            "worst": sorted(
+                (
+                    {k: it[k] for k in (
+                        "scene_id", "im_id", "obj_id",
+                        "visib_fract", "recall_vsd")}
+                    for it in scores["items"]
+                    if it["recall_vsd"] is not None
+                ),
+                key=lambda d: d["recall_vsd"],
+            )[:5],
+        }
+        # representation-gap attribution: rescore vsd with BOTH renders
+        # taken from the dataset's own splat depth (mask_visib-masked).
+        # With the mesh-vs-splat surface gap removed, anything below 1.0
+        # would be a writer defect (depth/mask incoherence).
+        t0 = time.time()
+        splat_scores = score_bop19(
+            csv, root / "out", "mini_pegaset", vsd_est_depth="dataset"
+        )
+        report["splatdepth_score_s"] = round(time.time() - t0, 1)
+        report["AR_vsd_splatdepth"] = splat_scores["AR_vsd"]
         # perfect estimates: mssd/mspd are pure pose geometry -> exactly 1.0.
         # vsd additionally compares mesh z-buffer renders against the
         # dataset's SPLAT-rendered depth images; the splat!=mesh surface
-        # gap costs a few visibility pixels at occlusion boundaries, so it
-        # gates at >= 0.9 rather than exact 1.0 (representation gap, not a
-        # writer/scorer defect — the same gap exists when scoring a real
-        # PEGASUS dataset with bop_toolkit's mesh renderer).
+        # gap costs a few visibility pixels at occlusion boundaries.
+        # Measured AR_vsd = 0.9965 (r4); gated at >= 0.99 (<= 1.3x the
+        # measured 0.35% error, matching the physics-gate discipline),
+        # with the splat-depth rescore gated at 1.0 to pin the residual
+        # on representation, not the writer.
         s = report["bop19_scores"]
         if not (
             s.get("AR_mssd") == 1.0
             and s.get("AR_mspd") == 1.0
-            and s.get("AR_vsd", 0.0) >= 0.9
+            and s.get("AR_vsd", 0.0) >= 0.99
+            and report["AR_vsd_splatdepth"] >= 0.9995
         ):
             ok = False
             report.setdefault("failures", []).append(
-                f"GT-as-estimates self-score out of gate: {s}"
+                f"GT-as-estimates self-score out of gate: {s}, "
+                f"splatdepth={report['AR_vsd_splatdepth']}"
             )
 
         ndds = sorted((dataset_dir / "train_ndds").glob("*.json"))

@@ -48,6 +48,11 @@ def scored_dataset(tmp_path_factory):
     pegasus.generate_dataset(["rgb", "depth", "seg_vis", "seg_sil"],
                              save_bop=True, save_video=False)
     pegasus.save2bop()
+    # gt-info, like the real pipeline (reference: pegasus.py:536) — the
+    # scorer's visib_fract filter needs it to skip fully occluded GTs
+    from pegasus_tpu.io.bop_writer import calculate_gt_info
+
+    calculate_gt_info(out, name, [1])
     return out, name
 
 
@@ -77,7 +82,10 @@ def test_perfect_estimates_score_one(scored_dataset, tmp_path):
     out, name = scored_dataset
     csv = _results_csv(out, name, tmp_path / "perfect.csv")
     scores = score_bop19(csv, out, name)
-    assert scores["n_gt"] == 4  # 2 frames x 2 objects
+    # 2 frames x 2 objects, but cup_noodles_04 is near-subpixel at 64x48
+    # (2 visible px in frame 0, fully occluded in frame 1) so the BOP
+    # visib_fract >= 0.1 filter keeps only the 2 cup_noodles_07 GTs
+    assert scores["n_gt"] == 2
     assert scores["AR_mssd"] == 1.0
     assert scores["AR_mspd"] == 1.0
     assert scores["AR_vsd"] > 0.95  # vsd==0 for identical poses
@@ -100,6 +108,30 @@ def test_bad_estimates_score_lower(scored_dataset, tmp_path):
     assert scores["AR"] < good["AR"]
     assert scores["AR_mssd"] < 1.0
     assert 0.0 <= scores["AR"] <= 1.0
+
+
+def test_items_and_splatdepth_rescore(scored_dataset, tmp_path):
+    """return_items exposes the per-GT recall distribution; scoring vsd
+    against the dataset's own splat depth (vsd_est_depth='dataset')
+    removes the mesh-vs-splat representation gap, so GT-as-estimates
+    must recover AR_vsd == 1.0 exactly unless the writer's depth and
+    mask_visib disagree (VERDICT r4 item 3)."""
+    out, name = scored_dataset
+    csv = _results_csv(out, name, tmp_path / "perfect.csv")
+    scores = score_bop19(csv, out, name, return_items=True)
+    items = scores["items"]
+    assert len(items) == scores["n_gt"] == 2
+    for it in items:
+        assert it["recall_mssd"] == 1.0
+        assert it["recall_mspd"] == 1.0
+        assert 0.0 <= it["recall_vsd"] <= 1.0
+    # average of per-item recalls must reproduce the aggregate
+    rv = np.mean([it["recall_vsd"] for it in items])
+    assert abs(rv - scores["AR_vsd"]) < 1e-12
+
+    splat = score_bop19(csv, out, name, vsd_est_depth="dataset")
+    assert splat["AR_vsd"] == 1.0
+    assert splat["AR_mssd"] == 1.0
 
 
 def test_missing_estimates_penalized(scored_dataset, tmp_path):
