@@ -115,6 +115,12 @@ def _scenes_per_hour():
             mode="static", camera_trajectory_mode="random",
             dataset_base_path=os.path.join(root, "out"),
             seed=3, QUIET=True, splat_budget=192_000,
+            # device-side RLE of the sparse planes (depth-hi + mask bits):
+            # the dev link is the scene bottleneck (7-27 MB/s tunnel), so
+            # the bench measures the compact transfer path; production
+            # fast-link configs leave it off (it is lossless either way —
+            # tests/test_generate.py proves bitwise-identical output)
+            compact_readback=True,
         )
         modalities = ["rgb", "depth", "seg_vis", "seg_sil", "sem_seg"]
         # warm the physics + frame programs once (both are shape-stable
@@ -133,10 +139,10 @@ def _scenes_per_hour():
         pegasus.init_start_position()
         body_R, body_t = pegasus._body_poses_at(pegasus._initial_step)
         posed = pegasus._posed_scene(pegasus.template, body_R, body_t)
-        warm = pegasus._chunk_program(
+        warm_buf, _warm_sparse = pegasus._chunk_program(
             posed, chunk_cams(list(range(chunk))), pegasus._semantic_colors_dev
         )
-        np.asarray(warm)
+        np.asarray(warm_buf)
 
         t0 = time.time()
         pegasus.init_bullet([env], objs, "bench", 2, 2, 2, random=False)
@@ -159,21 +165,23 @@ def _scenes_per_hour():
         body_R, body_t = pegasus._body_poses_at(pegasus._initial_step)
         posed = pegasus._posed_scene(pegasus.template, body_R, body_t)
         cams_all = chunk_cams(list(range(n_timed)))
-        packed = pegasus._chunk_program(
+        buf, _sparse = pegasus._chunk_program(
             posed, cams_all, pegasus._semantic_colors_dev
         )  # compile + warm
-        _ = float(jnp.sum(packed[0, :16].astype(jnp.int32)))
+        _ = float(jnp.sum(buf[:16].astype(jnp.int32)))
         reps = 3
         t2 = time.time()
         for _ in range(reps):
-            packed = pegasus._chunk_program(
+            buf, _sparse = pegasus._chunk_program(
                 posed, cams_all, pegasus._semantic_colors_dev
             )
         # one-scalar fetch = reliable sync even on tunneled backends
-        _ = float(jnp.sum(packed[0, :16].astype(jnp.int32)))
+        _ = float(jnp.sum(buf[:16].astype(jnp.int32)))
         t_dev = (time.time() - t2) / reps
         device_scene_s = t_setup + t_dev * (300.0 / n_timed)
-        bytes_per_frame = int(packed.size * packed.dtype.itemsize) // n_timed
+        # only the RLE buffer crosses the link (the raw sparse planes are
+        # the device-resident overflow fallback, untouched in-budget)
+        bytes_per_frame = int(buf.size * buf.dtype.itemsize) // n_timed
         return (
             round(3600.0 / scene_s, 1),
             round(scene_s, 1),

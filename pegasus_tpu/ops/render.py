@@ -225,6 +225,137 @@ def pack_frame_bytes(enc: FrameEncoded) -> jnp.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# Compacted chunk readback: RLE the sparse planes on-device.
+#
+# The 6 B/px packed frame splits into a dense half (rgb + depth-lo, 4 B/px,
+# near-incompressible) and a sparse half (depth-hi + bit-packed masks,
+# 2 B/px): the hi byte only changes every 256 mm of depth and the mask
+# bytes are zero except where objects project (a small fraction of the
+# frame).  Run-length encoding those planes device-side cuts ~30% of the
+# tunnel transfer losslessly (VERDICT r4 item 7).  Everything stays
+# static-shape for XLA: the RLE stream lives in a fixed budget of
+# ``max_runs`` slots and the UNcompressed planes ride along as a
+# device-resident fallback tensor the host only fetches when the run
+# count overflows the budget (rare: a dense-noise frame).
+# ---------------------------------------------------------------------------
+
+RLE_HEADER_BYTES = 8  # n_runs u32 | n_elements u32 (little-endian)
+RLE_BYTES_PER_RUN = 5  # value u8 | start offset u32 (little-endian)
+
+
+def rle_max_runs(chunk: int, height: int, width: int, n_planes: int) -> int:
+    """Default run budget: stream_bytes/48 runs -> 5/48 ~ 0.10 B per plane
+    byte, i.e. a ~31% cut of the 6 B/px frame when n_planes = 2."""
+    return max(1024, (chunk * height * width * n_planes) // 48)
+
+
+def split_frame_planes(enc: FrameEncoded) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Encoded frame -> (dense [H,W,4] rgb+depth-lo, sparse [H,W,1+mb]
+    depth-hi+maskbits).  Concatenating (dense, sparse) channel-wise gives
+    exactly the pack_frame_bytes layout."""
+    d = enc.depth_mm_u16
+    lo = (d & 0xFF).astype(jnp.uint8)
+    hi = (d >> 8).astype(jnp.uint8)
+    bits = _packbits(
+        jnp.concatenate([enc.mask_visib, enc.mask_amodal], axis=-1)
+    )
+    dense = jnp.concatenate([enc.rgb_u8, lo[..., None]], axis=-1)
+    sparse = jnp.concatenate([hi[..., None], bits], axis=-1)
+    return dense, sparse
+
+
+def _u32_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """uint32 [...]-> little-endian uint8 [..., 4]."""
+    x = x.astype(jnp.uint32)
+    return jnp.stack(
+        [((x >> (8 * i)) & 0xFF).astype(jnp.uint8) for i in range(4)],
+        axis=-1,
+    )
+
+
+def rle_pack_chunk(dense, sparse, max_runs: int):
+    """Pack a chunk ([C,H,W,4] dense, [C,H,W,P] sparse) into ONE uint8
+    transfer buffer + the raw sparse planes as overflow fallback.
+
+    Buffer layout: [8B header | 5*max_runs RLE slots | dense bytes].
+    The sparse planes are flattened PLANE-major ([P,C,H,W]) so each mask
+    byte-plane and the depth-hi plane keep their long spatial runs.
+    Returns (buf [8+5*max_runs+dense.size] u8, sparse) — the caller ships
+    ``buf`` and fetches ``sparse`` only if the header reports overflow.
+    """
+    x = jnp.transpose(sparse, (3, 0, 1, 2)).reshape(-1)
+    n = x.shape[0]
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), x[1:] != x[:-1]]
+    )
+    rid = jnp.cumsum(start.astype(jnp.int32)) - 1
+    n_runs = rid[-1] + 1
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    # one scatter per run start; runs past the budget drop out of bounds
+    idx = jnp.where(start, rid, max_runs)
+    starts = (
+        jnp.zeros((max_runs,), jnp.uint32).at[idx].set(pos, mode="drop")
+    )
+    values = x[starts.astype(jnp.int32)]
+    rle = jnp.concatenate(
+        [values[:, None], _u32_bytes(starts)], axis=-1
+    ).reshape(-1)
+    header = jnp.concatenate(
+        [
+            _u32_bytes(n_runs.astype(jnp.uint32)),
+            _u32_bytes(jnp.uint32(n)),
+        ],
+        axis=-1,
+    ).reshape(-1)
+    buf = jnp.concatenate([header, rle, dense.reshape(-1)])
+    return buf, sparse
+
+
+def rle_unpack_chunk(buf, chunk_shape, k: int, max_runs: int, palette=None,
+                     fallback_sparse=None):
+    """Host inverse of rle_pack_chunk.
+
+    chunk_shape = (C, H, W); ``fallback_sparse`` is a zero-arg callable
+    returning the raw sparse planes [C,H,W,P] (e.g. lambda fetching the
+    device tensor) used when the run count overflowed the budget.
+    Returns the unpack_frame_bytes dict with a leading chunk axis.
+    """
+    import numpy as np
+
+    c, h, w = chunk_shape
+    mb = (2 * k + 7) // 8
+    p = 1 + mb
+    buf = np.asarray(buf)
+    n_runs, n = np.frombuffer(
+        buf[:RLE_HEADER_BYTES].tobytes(), dtype="<u4"
+    )
+    rle_end = RLE_HEADER_BYTES + RLE_BYTES_PER_RUN * max_runs
+    if n_runs > max_runs:
+        if fallback_sparse is None:
+            raise ValueError(
+                f"RLE overflow ({n_runs} runs > budget {max_runs}) and no "
+                "fallback provided"
+            )
+        sparse = np.asarray(fallback_sparse())
+    else:
+        rle = buf[RLE_HEADER_BYTES:rle_end].reshape(max_runs,
+                                                    RLE_BYTES_PER_RUN)
+        values = rle[:n_runs, 0]
+        starts = (
+            rle[:n_runs, 1:5].astype(np.uint32)
+            * np.uint32([1, 1 << 8, 1 << 16, 1 << 24])
+        ).sum(axis=1)
+        lengths = np.diff(starts, append=np.uint32(n)).astype(np.int64)
+        flat = np.repeat(values, lengths)
+        sparse = flat.reshape(p, c, h, w).transpose(1, 2, 3, 0)
+    dense = buf[rle_end:].reshape(c, h, w, 4)
+    # (dense, sparse) channel-concat == the pack_frame_bytes layout
+    return unpack_frame_bytes(
+        np.concatenate([dense, sparse], axis=-1), k, palette=palette
+    )
+
+
 def unpack_frame_bytes(buf, k: int, palette=None):
     """Inverse of pack_frame_bytes on a host numpy array.
 
