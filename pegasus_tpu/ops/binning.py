@@ -175,6 +175,33 @@ _gather_rows_structured.defvjp(
 )
 
 
+def _finish_bins(proj, sorted_key, sorted_src, overflow, n, n_tiles, ntx,
+                 nty, tile, depth_bits, lane_pad, pack8) -> TileBins:
+    """Sorted (key, src) entries -> TileBins (generation path: plain
+    post-sort row gather, no entry-origin VJP structure)."""
+    entry_tile = (sorted_key >> depth_bits).astype(jnp.int32)
+    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(entry_tile, tile_ids, side="left").astype(
+        jnp.int32
+    )
+    seg_start, seg_end = bounds[:-1], bounds[1:]
+    cols = _pack_columns8(proj) if pack8 else _pack_columns(proj)
+    packed = jnp.stack(cols, axis=1)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, len(cols)), jnp.float32)], axis=0
+    )
+    src_pad = jnp.pad(sorted_src, (0, lane_pad), constant_values=n)
+    return TileBins(
+        params_t=packed[src_pad].T,
+        tile_start=seg_start,
+        tile_count=seg_end - seg_start,
+        n_tiles_x=ntx,
+        n_tiles_y=nty,
+        tile=tile,
+        overflow=overflow,
+    )
+
+
 def _pack_columns(proj: ProjectedGaussians):
     """16 per-splat parameter columns (PARAM_DIM order)."""
     n = proj.mean_x.shape[0]
@@ -236,6 +263,7 @@ def bin_splats(
     a_big: int = 36,
     mid_budget: int = 0,
     a_mid: int = 4,
+    adaptive_mid: bool = False,
     lane_pad: int = 1024,
     entry_cap: int | None = None,
     with_entry_origin: bool = False,
@@ -256,12 +284,33 @@ def bin_splats(
     1-2 tiles but a grazing view puts ~25% at a 2x2 footprint: slot count
     then tracks the footprint distribution instead of paying a_small=4
     for every subpixel splat.  Generation-only (the training VJP
-    transposes the 2-bucket slot structure)."""
+    transposes the 2-bucket slot structure).
+
+    adaptive_mid=True makes the mid bucket PER-FRAME conditional: the
+    mid bucket only ADDS coverage when more than big_budget splats have
+    area > a_small (otherwise every over-core splat is a big-bucket
+    winner with its full bbox — coverage is exact without it), so a
+    device-side count picks between two lax.cond branches — base sort
+    (a_small*N + a_big*big_budget entries) vs base+mid.  Orbit-style
+    views over large scenes skip the a_mid*mid_budget sort entries they
+    never needed; grazing views keep them.  Requires entry_cap strictly
+    below the base sort length (both branches emit entry_cap entries)
+    and mid_budget > 0."""
     if with_entry_origin and entry_cap is not None:
         raise ValueError("with_entry_origin requires entry_cap=None")
     if with_entry_origin and pack8:
         raise ValueError("pack8 is generation-only (no useful gradient)")
     n = proj.mean_x.shape[0]
+    if adaptive_mid:
+        if mid_budget <= 0:
+            raise ValueError("adaptive_mid requires mid_budget > 0")
+        if with_entry_origin:
+            raise ValueError("adaptive_mid is generation-only")
+        if entry_cap is None or entry_cap >= a_small * n + a_big * big_budget:
+            raise ValueError(
+                "adaptive_mid requires entry_cap < the base sort length "
+                "(both cond branches must emit entry_cap entries)"
+            )
     ntx = -(-width // tile)
     nty = -(-height // tile)
     n_tiles = ntx * nty
@@ -447,6 +496,50 @@ def bin_splats(
                          small_key.shape),
         jnp.broadcast_to(b_idx[None, :], big_key.shape),
     ]
+
+    if adaptive_mid and _stage is None:
+        # per-frame mid-bucket predicate: with <= big_budget over-core
+        # splats every one is a big-bucket winner carrying its full bbox,
+        # so the mid bucket adds nothing — skip its emission AND its
+        # a_mid*mid_budget sort entries.  Both branches produce exactly
+        # entry_cap sorted entries (validated above), so lax.cond
+        # type-checks and XLA executes only the taken sort.
+        need_mid = jnp.sum((area > a_small).astype(jnp.int32)) > big_budget
+        base_keys = jnp.concatenate([k.reshape(-1) for k in key_grids])
+        base_vals = jnp.concatenate([v.reshape(-1) for v in idx_grids])
+        m_end = big_budget + mid_budget
+
+        def _sort_cap(keys, vals):
+            vals = jnp.where(keys == sentinel, n, vals)
+            sk, sv = jax.lax.sort((keys, vals), num_keys=2,
+                                  is_stable=False)
+            return sk[:entry_cap], sv[:entry_cap], sk[entry_cap] != sentinel
+
+        def _with_mid(_):
+            mid_key = bucket_keys(
+                pa_all[big_budget:m_end], pb_all[big_budget:m_end],
+                rk_all[big_budget:m_end], a_mid,
+            )
+            m_idx = b_idx_all[big_budget:m_end]
+            keys = jnp.concatenate([base_keys, mid_key.reshape(-1)])
+            vals = jnp.concatenate([
+                base_vals,
+                jnp.broadcast_to(m_idx[None, :], mid_key.shape).reshape(-1),
+            ])
+            sk, sv, over = _sort_cap(keys, vals)
+            return sk, sv, over
+
+        def _no_mid(_):
+            return _sort_cap(base_keys, base_vals)
+
+        sorted_key, sorted_src, overflow = jax.lax.cond(
+            need_mid, _with_mid, _no_mid, None
+        )
+        return _finish_bins(
+            proj, sorted_key, sorted_src, overflow, n, n_tiles, ntx, nty,
+            tile, depth_bits, lane_pad, pack8,
+        )
+
     if mid_budget > 0:
         # footprint-stratified MIDDLE bucket: large scenes keep the cheap
         # a_small=2 core (most splats are 1-2 tiles) but a grazing view
@@ -507,6 +600,12 @@ def bin_splats(
         sorted_key = sorted_key[:entry_cap]
         sorted_src = sorted_src[:entry_cap]
 
+    if not with_entry_origin:
+        return _finish_bins(
+            proj, sorted_key, sorted_src, overflow, n, n_tiles, ntx, nty,
+            tile, depth_bits, lane_pad, pack8,
+        )
+
     entry_tile = (sorted_key >> depth_bits).astype(jnp.int32)
     # one searchsorted over 0..n_tiles: tile t's segment is
     # [bounds[t], bounds[t+1]) — sorted keys make right(t) == left(t+1)
@@ -524,17 +623,14 @@ def bin_splats(
     # pad the INDICES (a few hundred i32) instead of the [16, M] matrix —
     # index n hits the zero dummy row, so the lane tail is zeros either way
     src_pad = jnp.pad(sorted_src, (0, lane_pad), constant_values=n)
-    if with_entry_origin:
-        total = keys.shape[0]
-        pos_pad = jnp.pad(sorted_pos, (0, lane_pad), constant_values=total)
-        if abs_grad_sink is None:
-            abs_grad_sink = jnp.zeros((n, 2), jnp.float32)
-        params_t = _gather_rows_structured(
-            packed, src_pad, pos_pad, b_idx, abs_grad_sink,
-            n, a_small, a_big, b_idx.shape[0],
-        ).T  # [16, M + lane_pad]
-    else:
-        params_t = packed[src_pad].T  # [16, M + lane_pad]
+    total = keys.shape[0]
+    pos_pad = jnp.pad(sorted_pos, (0, lane_pad), constant_values=total)
+    if abs_grad_sink is None:
+        abs_grad_sink = jnp.zeros((n, 2), jnp.float32)
+    params_t = _gather_rows_structured(
+        packed, src_pad, pos_pad, b_idx, abs_grad_sink,
+        n, a_small, a_big, b_idx.shape[0],
+    ).T  # [16, M + lane_pad]
 
     return TileBins(
         params_t=params_t,

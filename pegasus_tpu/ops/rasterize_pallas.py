@@ -395,6 +395,7 @@ def rasterize_pallas(
     a_big: int | None = None,
     mid_budget: int | None = None,
     a_mid: int = 4,
+    adaptive_mid: bool | None = None,
     entry_cap: int | None = None,
     interpret: bool = False,
     tiles_per_program: int = 4,
@@ -487,13 +488,28 @@ def rasterize_pallas(
         # scenes have larger per-splat footprints (live ~4.5N measured
         # at 100k, where a 3.2N cap collapsed parity to 15.6 dB).
         entry_cap = int(3.4 * cloud.num_splats)
+    big_budget_eff = min(big_budget, cloud.num_splats)
+    mid_budget_eff = min(mid_budget, max(cloud.num_splats - big_budget, 0))
+    if adaptive_mid is None:
+        # per-frame conditional mid bucket: the mid bucket only ADDS
+        # coverage when > big_budget splats exceed the a_small core
+        # (grazing views); orbit-style frames skip its a_mid*mid_budget
+        # sort entries via lax.cond (binning.py).  Auto-on whenever the
+        # static shapes allow it (entry cap below the base sort length
+        # makes both cond branches emit identical shapes).
+        adaptive_mid = (
+            mid_budget_eff > 0
+            and entry_cap is not None
+            and entry_cap
+            < a_small * cloud.num_splats + a_big * big_budget_eff
+        )
     proj = project_gaussians(cloud, cam, sh_degree, scaling_modifier)
     bins = bin_splats(
         proj, cam.width, cam.height, tile=tile,
-        a_small=a_small, big_budget=min(big_budget, cloud.num_splats),
+        a_small=a_small, big_budget=big_budget_eff,
         a_big=a_big, lane_pad=chunk + 2 * _ALIGN, entry_cap=entry_cap,
-        mid_budget=min(mid_budget, max(cloud.num_splats - big_budget, 0)),
-        a_mid=a_mid, pack8=pack_params,
+        mid_budget=mid_budget_eff,
+        a_mid=a_mid, adaptive_mid=adaptive_mid, pack8=pack_params,
     )
     return composite_tiles_pallas(
         bins,

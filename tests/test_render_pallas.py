@@ -168,6 +168,98 @@ def test_mid_bucket_recovers_clipped_footprints(rng):
         )
 
 
+def _assert_bins_equal(a, b):
+    for field in ("params_t", "tile_start", "tile_count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+            err_msg=field,
+        )
+    assert bool(a.overflow) == bool(b.overflow)
+
+
+def test_adaptive_mid_matches_static(rng):
+    """adaptive_mid picks per frame between the base and base+mid sorts
+    via lax.cond; BOTH outcomes must be bit-identical to the equivalent
+    static configuration (the mid bucket only adds coverage when over-core
+    splats outnumber big_budget, so skipping it below that is exact)."""
+    import jax
+
+    from pegasus_tpu.ops.binning import bin_splats
+    from pegasus_tpu.ops.projection import project_gaussians
+
+    env = make_plane_cloud(rng, n=400, size=1.0)
+    box = make_box_cloud(rng, n=200, center=(0, 0, 0.08), object_id=1)
+    scene = merge([env, box])
+    cam = Camera.look_at(
+        eye=(0.4, 0.3, 0.5), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(45), width=64, height=64,
+    )
+    proj = project_gaussians(scene, cam)
+    n = int(np.asarray(proj.mean_x).shape[0])
+    area = np.asarray(bin_splats(proj, 64, 64, a_small=2, _stage="area"))
+    n_over = int((area > 2).sum())
+
+    # case B: over-core splats exceed the big budget -> mid branch taken
+    assert n_over > 8  # the scenario has teeth
+    kw = dict(a_small=2, big_budget=8, a_big=16, mid_budget=n, a_mid=16,
+              entry_cap=800)
+    static = bin_splats(proj, 64, 64, **kw)
+    adaptive = jax.jit(
+        lambda p: bin_splats(p, 64, 64, adaptive_mid=True, **kw)
+    )(proj)
+    _assert_bins_equal(adaptive, static)
+
+    # case A: big budget swallows every over-core splat -> base branch
+    # taken; must equal BOTH the static-mid and the no-mid configuration
+    assert n_over <= n - 8
+    kw_a = dict(a_small=2, big_budget=n - 8, a_big=16, mid_budget=8,
+                a_mid=16, entry_cap=800)
+    static_mid = bin_splats(proj, 64, 64, **kw_a)
+    no_mid = bin_splats(
+        proj, 64, 64, a_small=2, big_budget=n - 8, a_big=16, mid_budget=0,
+        entry_cap=800,
+    )
+    adaptive_a = jax.jit(
+        lambda p: bin_splats(p, 64, 64, adaptive_mid=True, **kw_a)
+    )(proj)
+    _assert_bins_equal(adaptive_a, static_mid)
+    _assert_bins_equal(adaptive_a, no_mid)
+
+    # invalid static-shape combinations are refused, not silently wrong
+    with pytest.raises(ValueError, match="adaptive_mid"):
+        bin_splats(proj, 64, 64, a_small=2, mid_budget=0, entry_cap=800,
+                   adaptive_mid=True)
+    with pytest.raises(ValueError, match="adaptive_mid"):
+        bin_splats(proj, 64, 64, a_small=2, mid_budget=16,
+                   adaptive_mid=True)  # no entry_cap
+    with pytest.raises(ValueError, match="adaptive_mid"):
+        bin_splats(proj, 64, 64, a_small=2, big_budget=8, a_big=16,
+                   mid_budget=16, entry_cap=10_000, adaptive_mid=True)
+
+
+def test_adaptive_mid_rasterize_parity(rng):
+    """End-to-end through rasterize_pallas (interpret): adaptive output
+    matches the always-on mid configuration pixel for pixel."""
+    env = make_plane_cloud(rng, n=400, size=1.0)
+    box = make_box_cloud(rng, n=200, center=(0, 0, 0.08), object_id=1)
+    scene = merge([env, box])
+    cam = Camera.look_at(
+        eye=(0.4, 0.3, 0.5), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(45), width=64, height=64,
+    )
+    n = scene.num_splats
+    kw = dict(max_objects=2, chunk=128, interpret=True, a_small=2,
+              big_budget=8, a_big=16, mid_budget=n, a_mid=16,
+              entry_cap=800)
+    static = rasterize_pallas(scene, cam, adaptive_mid=False, **kw)
+    adaptive = rasterize_pallas(scene, cam, adaptive_mid=True, **kw)
+    for name in ("rgb", "depth", "seg_weights", "vis_weights", "amodal"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(static, name)),
+            np.asarray(getattr(adaptive, name)), err_msg=name,
+        )
+
+
 def test_packed8_roundtrip_bounds(rng):
     """PACKED8 encode/decode: radius and object id are EXACT; color and
     opacity quantization errors are bounded by half an LSB."""
