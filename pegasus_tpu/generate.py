@@ -129,6 +129,9 @@ def run_generation(
             env=pegasus.selected_env_name,
             object_ids=pegasus.selected_object_ids,
             **{f"t_{k}": v for k, v in timers.items()},
+            # device->host transfer accounting from the render loop
+            # (bytes fetched + time blocked on fetches)
+            **getattr(pegasus, "last_render_stats", {}),
         )
 
     for scene_id in range(1, config.num_scenes + 1):

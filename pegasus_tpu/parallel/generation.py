@@ -462,7 +462,9 @@ def _write_scene(
     }
     data_points = config.render_data_points
     for i, cam in enumerate(setup["cams"]):
-        data = unpack_frame_bytes(packed[i], k_max, palette=setup["colors"])
+        data = unpack_frame_bytes(
+            packed[i], k_max, palette=setup["colors"], with_depth_m=False
+        )
         writer.add_scene_camera(i)
         writer.write_training_data(
             frame_id=i,

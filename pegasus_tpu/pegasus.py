@@ -21,6 +21,7 @@ Key differences (deliberate, documented):
 from __future__ import annotations
 
 import functools
+import time
 from pathlib import Path
 from typing import Dict, List, Literal, Optional, Union
 
@@ -591,24 +592,35 @@ class PEGASUS:
         inflight = [dispatch(ci) for ci in range(min(DEPTH, n_chunks))]
         next_ci = len(inflight)
         progress = tqdm.tqdm(total=n_frames, disable=self.QUIET)
+        # per-scene transfer accounting: bytes shipped device->host and
+        # time BLOCKED on fetches (a lower bound on transfer cost — the
+        # pipeline overlaps the rest with decode + PNG writes)
+        readback_bytes = 0
+        fetch_stall_s = 0.0
 
         for _ in range(n_chunks):
             fut, poses_fut, per_frame_pose, idxs, sparse_dev = inflight.pop(0)
             if next_ci < n_chunks:
                 inflight.append(dispatch(next_ci))
                 next_ci += 1
+            t_wait = time.perf_counter()
+            raw = fut.result()
+            fetch_stall_s += time.perf_counter() - t_wait
+            readback_bytes += raw.nbytes
             if self.compact_readback:
                 h, w = self.render_height, self.render_width
                 p = 1 + (2 * n_objects + 7) // 8
                 data = rle_unpack_chunk(
-                    fut.result(), (chunk, h, w), n_objects,
+                    raw, (chunk, h, w), n_objects,
                     rle_max_runs(chunk, h, w, p),
                     palette=self.semantic_colors,
                     fallback_sparse=lambda sd=sparse_dev: np.asarray(sd),
+                    with_depth_m=save_video,
                 )
             else:
                 data = unpack_frame_bytes(
-                    fut.result(), n_objects, palette=self.semantic_colors
+                    raw, n_objects, palette=self.semantic_colors,
+                    with_depth_m=save_video,
                 )
             poses_np = poses_fut.result()
             if self.publish2gui:
@@ -628,12 +640,10 @@ class PEGASUS:
                     body_R_np, body_t_np = poses_np
                 cam = self.viewport_cam_list[i]
                 rgb_u8 = data["rgb_u8"][j]
-                depth = data["depth_m"][j]
                 depth_mm = data["depth_mm"][j]
                 mask_visib = data["mask_visib"][j]
                 mask_amodal = data["mask_amodal"][j]
                 sem_u8 = data["sem_u8"][j]
-                seg_img = sem_u8.astype(np.float32) / 255.0
 
                 writer.add_scene_camera(i)
                 if save_bop:
@@ -666,6 +676,9 @@ class PEGASUS:
                     )
 
                 if save_video:
+                    # float planes only the video overlay consumes
+                    depth = data["depth_m"][j]
+                    seg_img = sem_u8.astype(np.float32) / 255.0
                     centers = np.stack(
                         [
                             np.asarray(self.template.pivots[bid]) + body_t_np[bid]
@@ -687,6 +700,10 @@ class PEGASUS:
                 progress.update(1)
         progress.close()
         readers.shutdown(wait=True)
+        self.last_render_stats = {
+            "readback_bytes": int(readback_bytes),
+            "fetch_stall_s": round(fetch_stall_s, 3),
+        }
 
     def save2bop(self) -> None:
         """Finalize scene annotations (reference: pegasus.py:392-396)."""

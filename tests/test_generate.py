@@ -50,6 +50,11 @@ def test_run_generation_multi_scene(synthetic_root, tmp_path):
     stats = run_generation(config, [env], objs)
     assert len(stats.records) == 2
     assert stats.summary()["mean_frames_per_s"] > 0
+    # per-scene transfer accounting from the render loop: every scene
+    # shipped its packed frames device->host and recorded the stall
+    for rec in stats.records:
+        assert rec["readback_bytes"] > 0
+        assert rec["fetch_stall_s"] >= 0
 
     ds = out / "batch_test"
     for sid in (1, 2):
