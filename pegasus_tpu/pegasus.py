@@ -85,6 +85,11 @@ class PEGASUS:
         # scene_gt keeps the t=0 pose for every frame (pegasus.py:360-365
         # always writes R_init/t_init set at pegasus_setup.py:160-176)
     ):
+        # one-time amortization: persist XLA executables across processes
+        # (the TPU analogue of the reference's install-time CUDA build)
+        from pegasus_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.dataset_path = dataset_path
         self.env_dataset_path = env_dataset_path or dataset_path
         self.urdf_asset_folder = urdf_asset_folder

@@ -146,6 +146,9 @@ class GSTrainer:
         (pallas on TPU, tiled elsewhere).  The reference's single CUDA
         rasterizer serves both generation and training; the Pallas pair is
         its train-side equivalent here."""
+        from pegasus_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config
         self.width = width
         self.height = height
