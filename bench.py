@@ -139,7 +139,7 @@ def _scenes_per_hour():
         pegasus.init_start_position()
         body_R, body_t = pegasus._body_poses_at(pegasus._initial_step)
         posed = pegasus._posed_scene(pegasus.template, body_R, body_t)
-        warm_buf, _warm_sparse = pegasus._chunk_program(
+        warm_buf, _warm_sparse, _warm_ovf = pegasus._chunk_program(
             posed, chunk_cams(list(range(chunk))), pegasus._semantic_colors_dev
         )
         np.asarray(warm_buf)
@@ -165,14 +165,14 @@ def _scenes_per_hour():
         body_R, body_t = pegasus._body_poses_at(pegasus._initial_step)
         posed = pegasus._posed_scene(pegasus.template, body_R, body_t)
         cams_all = chunk_cams(list(range(n_timed)))
-        buf, _sparse = pegasus._chunk_program(
+        buf, _sparse, _ovf = pegasus._chunk_program(
             posed, cams_all, pegasus._semantic_colors_dev
         )  # compile + warm
         _ = float(jnp.sum(buf[:16].astype(jnp.int32)))
         reps = 3
         t2 = time.time()
         for _ in range(reps):
-            buf, _sparse = pegasus._chunk_program(
+            buf, _sparse, _ovf = pegasus._chunk_program(
                 posed, cams_all, pegasus._semantic_colors_dev
             )
         # one-scalar fetch = reliable sync even on tunneled backends

@@ -44,6 +44,12 @@ class FrameDataPoints(NamedTuple):
     mask_amodal: jnp.ndarray  # [H, W, K] bool
     seg_image: jnp.ndarray  # [H, W, 3] float
     vis_weights: jnp.ndarray  # [H, W, K] raw weights (debug/gt-info)
+    # scalar bool from the rasterizer: True when an entry-capped binning
+    # truncated LIVE entries for this frame (bottom-image tiles silently
+    # lose far splats — see ops/binning.py TileBins.overflow).  The
+    # generation loop surfaces it per scene (pegasus.py) so dense frames
+    # over >500k-splat scenes cannot corrupt written datasets silently.
+    overflow: jnp.ndarray = jnp.asarray(False)
 
 
 def decode_modalities(
@@ -67,6 +73,7 @@ def decode_modalities(
         mask_amodal=amodal >= mask_threshold,
         seg_image=jnp.clip(seg_image, 0.0, 1.0),
         vis_weights=vis,
+        overflow=getattr(out, "overflow", jnp.asarray(False)),
     )
 
 

@@ -23,6 +23,7 @@ Call via ``run_generation(config, envs, objs, mesh=mesh)`` or directly:
 from __future__ import annotations
 
 import functools
+import logging
 import time
 from pathlib import Path
 from typing import List, Optional
@@ -200,12 +201,12 @@ def _make_batch_program(mesh, n_steps: int, rasterize_fn,
                 scene, cam, colors, rasterize_fn=rasterize_fn
             )
             packed = pack_frame_bytes(encode_frame(fr))
-            return 0, (packed, body_R, body_t)
+            return 0, (packed, body_R, body_t, fr.overflow)
 
-        _, (packed, body_R, body_t) = jax.lax.scan(
+        _, (packed, body_R, body_t, ovf) = jax.lax.scan(
             frame, 0, (cams, frame_steps)
         )
-        return packed, body_R, body_t, times_t, times_q
+        return packed, body_R, body_t, times_t, times_q, ovf
 
     def local_batch(template_b, params_b, state0_b, hf_b, cams_b,
                     colors_b, frame_steps):
@@ -352,10 +353,14 @@ def run_generation_sharded(
         cams_b = shard_batch(cams_b, mesh, "scene")
         colors_b = shard_batch(colors_b, mesh, "scene")
 
-        packed, body_R, body_t, times_t, times_q = batch_program(
+        packed, body_R, body_t, times_t, times_q, ovf = batch_program(
             template_b, params_b, state0_b, hf_b, cams_b, colors_b,
             frame_steps,
         )
+        # [n_dev, F] bool binning entry-cap flags (tiny fetch): surfaced
+        # per scene so capped binning cannot silently truncate bottom-
+        # image tiles in the written dataset (see ops/binning.py)
+        ovf_np = np.asarray(ovf)
 
         # host writes (device->host pull + PNG/JSON) run on the writer
         # pool so the NEXT batch's setup + device compute overlap them
@@ -370,7 +375,15 @@ def run_generation_sharded(
                 )
             )
         dt = time.perf_counter() - t0
-        for setup in setups[:n_real]:
+        for s_idx, setup in enumerate(setups[:n_real]):
+            n_ovf = int(ovf_np[s_idx].sum())
+            if n_ovf:
+                logging.getLogger("pegasus_tpu").warning(
+                    "scene %d: binning entry cap overflowed on %d/%d "
+                    "frames (far splats dropped in bottom-image tiles; "
+                    "raise entry_cap or reduce splat_budget)",
+                    setup["scene_id"], n_ovf, n_frames,
+                )
             stats.record(
                 setup["scene_id"],
                 frames=n_frames,
@@ -380,6 +393,7 @@ def run_generation_sharded(
                 n_objects=setup["n_obj"],
                 env=setup["env"].object_name,
                 object_ids=[int(o.ID) for o in setup["selected"]],
+                binning_overflow_frames=n_ovf,
             )
 
     from concurrent.futures import ThreadPoolExecutor

@@ -21,6 +21,7 @@ Key differences (deliberate, documented):
 from __future__ import annotations
 
 import functools
+import logging
 import time
 from pathlib import Path
 from typing import Dict, List, Literal, Optional, Union
@@ -322,9 +323,13 @@ class PEGASUS:
         alone).
 
         With ``compact_readback`` the chunk's sparse planes are RLE-packed
-        on-device and the program returns ``(buf, sparse)`` — the host
-        fetches only ``buf`` and touches ``sparse`` solely on run-budget
-        overflow (see ops/render.py rle_pack_chunk)."""
+        on-device and the program returns ``(buf, sparse, overflow)`` — the
+        host fetches only ``buf`` and touches ``sparse`` solely on
+        run-budget overflow (see ops/render.py rle_pack_chunk).  The plain
+        path returns ``(packed, overflow)``.  ``overflow`` is the [C] bool
+        per-frame binning entry-cap flag (ops/binning.py TileBins) — it
+        rides the prefetched readback so dense frames over large scenes
+        cannot silently truncate bottom-image tiles in written datasets."""
         background = self.background
         kwargs = self._rasterize_kwargs
         compact = self.compact_readback
@@ -332,24 +337,24 @@ class PEGASUS:
         @jax.jit
         def fn(scene, cams, colors):
             def one(c):
-                enc = encode_frame(
-                    render_frame(
-                        scene, c, colors, background=background, **kwargs
-                    )
+                frame = render_frame(
+                    scene, c, colors, background=background, **kwargs
                 )
+                enc = encode_frame(frame)
                 return (
                     split_frame_planes(enc) if compact
                     else pack_frame_bytes(enc)
-                )
+                ), frame.overflow
 
-            out = jax.lax.map(one, cams)
+            out, ovf = jax.lax.map(one, cams)
             if compact:
                 dense, sparse = out
                 c, h, w = dense.shape[:3]
-                return rle_pack_chunk(
+                buf, fallback = rle_pack_chunk(
                     dense, sparse, rle_max_runs(c, h, w, sparse.shape[-1])
                 )
-            return out
+                return buf, fallback, ovf
+            return out, ovf
 
         return fn
 
@@ -365,24 +370,24 @@ class PEGASUS:
             def one(args):
                 c, R, t = args
                 scene = pose_scene(template, R, t)
-                enc = encode_frame(
-                    render_frame(
-                        scene, c, colors, background=background, **kwargs
-                    )
+                frame = render_frame(
+                    scene, c, colors, background=background, **kwargs
                 )
+                enc = encode_frame(frame)
                 return (
                     split_frame_planes(enc) if compact
                     else pack_frame_bytes(enc)
-                )
+                ), frame.overflow
 
-            out = jax.lax.map(one, (cams, body_Rs, body_ts))
+            out, ovf = jax.lax.map(one, (cams, body_Rs, body_ts))
             if compact:
                 dense, sparse = out
                 c, h, w = dense.shape[:3]
-                return rle_pack_chunk(
+                buf, fallback = rle_pack_chunk(
                     dense, sparse, rle_max_runs(c, h, w, sparse.shape[-1])
                 )
-            return out
+                return buf, fallback, ovf
+            return out, ovf
 
         return fn
 
@@ -577,14 +582,20 @@ class PEGASUS:
                 )
                 per_frame_pose = True
             if self.compact_readback:
-                buf, sparse_dev = packed
+                buf, sparse_dev, ovf_dev = packed
                 # ship the RLE buffer; the raw sparse planes stay on
                 # device as the overflow fallback
                 fut = readers.submit(np.asarray, buf)
             else:
                 sparse_dev = None
-                fut = readers.submit(np.asarray, packed)
-            return (fut, poses_fut, per_frame_pose, idxs, sparse_dev)
+                buf, ovf_dev = packed
+                fut = readers.submit(np.asarray, buf)
+            # [C] bool binning entry-cap flags: a tiny fetch that rides
+            # the same overlapped reader pool (one extra RPC per chunk,
+            # hidden by the buf transfer it shares the pipeline with)
+            ovf_fut = readers.submit(np.asarray, ovf_dev)
+            return (fut, poses_fut, per_frame_pose, idxs, sparse_dev,
+                    ovf_fut)
 
         # reference-quirk compat: dynamic scene_gt frozen at the initial
         # timestep (the render still follows the trajectory)
@@ -602,9 +613,11 @@ class PEGASUS:
         # pipeline overlaps the rest with decode + PNG writes)
         readback_bytes = 0
         fetch_stall_s = 0.0
+        overflow_frames = 0
 
         for _ in range(n_chunks):
-            fut, poses_fut, per_frame_pose, idxs, sparse_dev = inflight.pop(0)
+            (fut, poses_fut, per_frame_pose, idxs, sparse_dev,
+             ovf_fut) = inflight.pop(0)
             if next_ci < n_chunks:
                 inflight.append(dispatch(next_ci))
                 next_ci += 1
@@ -612,6 +625,8 @@ class PEGASUS:
             raw = fut.result()
             fetch_stall_s += time.perf_counter() - t_wait
             readback_bytes += raw.nbytes
+            # per-frame entry-cap flags (padded tail frames excluded)
+            overflow_frames += int(ovf_fut.result()[: len(idxs)].sum())
             if self.compact_readback:
                 h, w = self.render_height, self.render_width
                 p = 1 + (2 * n_objects + 7) // 8
@@ -708,7 +723,19 @@ class PEGASUS:
         self.last_render_stats = {
             "readback_bytes": int(readback_bytes),
             "fetch_stall_s": round(fetch_stall_s, 3),
+            "binning_overflow_frames": int(overflow_frames),
         }
+        if overflow_frames:
+            # written frames are missing far splats in bottom-image tiles;
+            # the dataset is structurally valid but photometrically short.
+            # Raise rasterize's entry_cap (or lower splat_budget) and
+            # re-generate the scene — resumable via generate.py.
+            logging.getLogger("pegasus_tpu").warning(
+                "binning entry cap overflowed on %d/%d frames: rendered "
+                "images silently dropped far splats in bottom-image tiles "
+                "(raise entry_cap via rasterize kwargs, or reduce "
+                "splat_budget)", overflow_frames, n_frames,
+            )
 
     def save2bop(self) -> None:
         """Finalize scene annotations (reference: pegasus.py:392-396)."""

@@ -99,6 +99,10 @@ def test_full_pipeline(synthetic_root, tmp_path, mode):
     rgb = imageio.imread(scene / "rgb" / "000000.png")
     assert rgb.mean() > 10
 
+    # per-frame binning entry-cap flags surfaced through the chunked
+    # readback: a small scene must report zero overflowed frames
+    assert pegasus.last_render_stats["binning_overflow_frames"] == 0
+
     # scene_camera/gt jsons
     with open(scene / "scene_camera.json") as f:
         scene_cam = json.load(f)

@@ -452,3 +452,35 @@ def test_payload_packing_sign_bit_fields():
     txs, tys = tiles % ntx, tiles // ntx
     assert np.all(np.abs(txs - 128) <= 8)
     assert np.all(np.abs(tys - 128) <= 8)
+
+
+def test_entry_cap_overflow_propagates_to_frame(rng):
+    """A cap smaller than the live entry count must flag overflow, and the
+    flag must survive decode_modalities so the generation loop can surface
+    it per scene (pegasus.py generate_dataset -> binning_overflow_frames).
+    Measured motivation: a realistic distant camera over the 1M bench
+    scene overflowed the 1.8N production cap
+    (benchmarks/adaptive_mid_1m.json)."""
+    from pegasus_tpu.ops.render import render_frame
+
+    env = make_plane_cloud(rng, n=300, size=1.0)
+    box = make_box_cloud(rng, n=150, center=(0, 0, 0.08), object_id=1)
+    scene = merge([env, box])
+    cam = Camera.look_at(
+        eye=(0.4, 0.3, 0.5), target=(0, 0, 0.05), up=(0, 0, 1),
+        fovx=np.deg2rad(55), fovy=np.deg2rad(45), width=32, height=32,
+    )
+    colors = np.asarray([[1.0, 0.0, 0.0]], np.float32)
+
+    frame = render_frame(
+        scene, cam, colors, max_objects=2,
+        rasterize_fn=rasterize_pallas, chunk=128, interpret=True,
+        entry_cap=64,  # far below the live entry count of 450 splats
+    )
+    assert bool(frame.overflow)
+
+    frame_ok = render_frame(
+        scene, cam, colors, max_objects=2,
+        rasterize_fn=rasterize_pallas, chunk=128, interpret=True,
+    )
+    assert not bool(frame_ok.overflow)
