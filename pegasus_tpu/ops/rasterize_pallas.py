@@ -467,11 +467,15 @@ def rasterize_pallas(
         # with the mid bucket the live entry count is the splats' true
         # clipped-bbox coverage: measured 1.63N at the 1M bench orbit
         # view, 1.65N at the grazing view (vs 1.34N when a_small=2
-        # clipped it).  1.8N truncates only dead sentinel slots at both
-        # and keeps a ~150k-entry margin for denser viewpoints.
-        # Graceful only up to the cap — bench parity-gates 1M every round
-        # (orbit AND grazing), and TileBins.overflow flags any live-entry
-        # truncation.
+        # clipped it).  1.8N truncates only dead sentinel slots at both.
+        # The margin is NOT universal: a far view that keeps the whole
+        # scene onscreen measured live > 1.8N and overflowed
+        # (benchmarks/adaptive_mid_1m.json "distant") — which is why the
+        # generation paths surface TileBins.overflow per frame
+        # (binning_overflow_frames in scene stats + warning) instead of
+        # trusting the cap; bench additionally parity-gates 1M every
+        # round (orbit AND grazing).  Callers hitting the warning pass a
+        # larger entry_cap explicitly and pay the gather cost only then.
         entry_cap = int(1.8 * cloud.num_splats)
     elif entry_cap is None and cloud.num_splats > MEDIUM_SCENE_SPLATS:
         # mid-size tier (300k < N <= 500k, a_small=4): live entries
